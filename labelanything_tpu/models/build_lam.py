@@ -1,0 +1,264 @@
+"""LAM model factory (reference: label_anything/models/build_lam.py:96-300).
+
+Builders return un-initialized flax modules; parameter initialization /
+checkpoint loading is handled by :mod:`labelanything_tpu.api` so that the
+factory stays a pure description of architecture.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .build_encoder import ENCODERS, build_vit_b, build_vit_b_mae, build_vit_b_imagenet_i21k, build_vit_dino_b8, build_vit_h, build_vit_l
+from .common import SAM_EMBED_DIM
+from .lam import BinaryLam, Lam, Neck
+from .mask_decoder import MaskDecoderLam
+from .affinity_decoder import AffinityDecoder
+from .prompt_encoder import (
+    IdentityClassEncoder,
+    PromptImageEncoder,
+    PromptImagePoolEncoder,
+    RandomMatrixEncoder,
+)
+from .transformer import (
+    AffinityTransformer,
+    IdentityTransformer,
+    OneWayTransformer,
+    TwoWayTransformer,
+)
+
+_CLASS_ENCODERS = {
+    "RandomMatrixEncoder": RandomMatrixEncoder,
+}
+
+_FUSION_TRANSFORMERS = {
+    "TwoWayTransformer": TwoWayTransformer,
+    "OneWayTransformer": OneWayTransformer,
+    "IdentityTransformer": IdentityTransformer,
+}
+
+
+def build_mask_decoder(
+    embed_dim,
+    decoder_attention_downsample_rate,
+    few_type="Prototype",
+    fusion_transformer="TwoWayTransformer",
+    segment_example_logits=False,
+    spatial_convs=None,
+    classification_layer_downsample_rate=8,
+    conv_upsample_stride=2,
+    transformer_feature_size=None,
+    dropout=0.0,
+    class_fusion="sum",
+    classification_levels=1,
+    conv_classification=False,
+    transformer_keys_are_images=True,
+    apply_masks=False,
+    dtype=jnp.float32,
+):
+    """(reference: build_lam.py:238-298)."""
+    if few_type == "Prototype":
+        transformer = _FUSION_TRANSFORMERS[fusion_transformer](
+            depth=2,
+            embedding_dim=embed_dim,
+            mlp_dim=2048,
+            num_heads=8,
+            attention_downsample_rate=decoder_attention_downsample_rate,
+            dropout=dropout,
+            apply_masks=apply_masks,
+            dtype=dtype,
+        ) if fusion_transformer != "IdentityTransformer" else IdentityTransformer()
+        return MaskDecoderLam(
+            transformer_dim=embed_dim,
+            spatial_convs=spatial_convs,
+            transformer=transformer,
+            segment_example_logits=segment_example_logits,
+            classification_layer_downsample_rate=classification_layer_downsample_rate,
+            conv_upsample_stride=conv_upsample_stride,
+            classification_levels=classification_levels,
+            dropout=dropout,
+            conv_classification=conv_classification,
+            dtype=dtype,
+        )
+    if few_type in ("Affinity", "PrototypeAffinity"):
+        transformer = AffinityTransformer(
+            depth=2,
+            embedding_dim=embed_dim,
+            mlp_dim=2048,
+            num_heads=8,
+            attention_downsample_rate=decoder_attention_downsample_rate,
+            dropout=dropout,
+            apply_masks=apply_masks,
+            dtype=dtype,
+        )
+        return AffinityDecoder(
+            transformer_dim=embed_dim,
+            spatial_convs=spatial_convs,
+            transformer=transformer,
+            classification_layer_downsample_rate=classification_layer_downsample_rate,
+            transformer_feature_size=transformer_feature_size,
+            class_fusion=class_fusion,
+            prototype_merge=few_type == "PrototypeAffinity",
+            transformer_keys_are_images=transformer_keys_are_images,
+            dtype=dtype,
+        )
+    raise NotImplementedError(f"few_type {few_type} not implemented")
+
+
+def _build_lam(
+    build_vit=None,
+    checkpoint=None,
+    use_sam_checkpoint=False,
+    use_vit_sam_neck=True,
+    ignore_encoder_checkpoint=False,
+    use_vit=True,
+    image_embed_dim=SAM_EMBED_DIM,
+    embed_dim=SAM_EMBED_DIM,
+    image_size=1024,
+    vit_patch_size=16,
+    class_attention=False,
+    example_attention=False,
+    example_class_attention=True,
+    class_embedding_dim=None,
+    spatial_convs=None,
+    encoder_attention_downsample_rate: int = 2,
+    decoder_attention_downsample_rate: int = 2,
+    classification_layer_downsample_rate: int = 8,
+    conv_classification=False,
+    use_support_features_in_prompt_encoder: bool = True,
+    fusion_transformer="TwoWayTransformer",
+    classification_levels=1,
+    few_type="Prototype",
+    class_fusion="sum",
+    prompt_encoder=None,  # None or "TokenPool"
+    transformer_keys_are_images=True,
+    transformer_feature_size=None,
+    class_encoder=None,
+    segment_example_logits=False,
+    embeddings_per_example=None,
+    embedding_extraction=None,
+    dropout: float = 0.0,
+    binary=False,
+    custom_preprocess=True,
+    apply_masks=False,
+    dtype=jnp.float32,
+    encoder_dtype=None,
+    remat_encoder=False,
+) -> Lam:
+    """Architecture factory (reference: build_lam.py:96-235)."""
+    image_embedding_size = image_size // vit_patch_size
+
+    vit = None
+    if use_vit and build_vit is not None:
+        vit = build_vit(
+            project_last_hidden=use_vit_sam_neck,
+            dtype=encoder_dtype or dtype,
+            remat=remat_encoder,
+        ) if build_vit in (build_vit_b, build_vit_l, build_vit_h) else build_vit(
+            project_last_hidden=use_vit_sam_neck, dtype=encoder_dtype or dtype
+        )
+
+    if class_encoder is not None:
+        params = {k: v for k, v in class_encoder.items() if k != "name"}
+        params.setdefault("embed_dim", embed_dim)
+        class_encoder_mod = _CLASS_ENCODERS[class_encoder["name"]](**params)
+    else:
+        class_encoder_mod = IdentityClassEncoder()
+
+    if segment_example_logits and embeddings_per_example is None:
+        embeddings_per_example = 1
+    if embeddings_per_example and not segment_example_logits:
+        segment_example_logits = True
+
+    neck = None if image_embed_dim == embed_dim else Neck(embed_dim, dtype=dtype)
+
+    pe_cls = PromptImagePoolEncoder if prompt_encoder == "TokenPool" else PromptImageEncoder
+    prompt_encoder_mod = pe_cls(
+        embed_dim=embed_dim,
+        image_embedding_size=(image_embedding_size, image_embedding_size),
+        input_image_size=(image_size, image_size),
+        mask_in_chans=16,
+        class_attention=class_attention,
+        example_attention=example_attention,
+        example_class_attention=example_class_attention,
+        class_embedding_dim=class_embedding_dim,
+        dropout=dropout,
+        use_support_features=use_support_features_in_prompt_encoder,
+        transformer=TwoWayTransformer(
+            depth=2,
+            embedding_dim=embed_dim,
+            mlp_dim=2048,
+            attention_downsample_rate=encoder_attention_downsample_rate,
+            num_heads=8,
+            dropout=dropout,
+            apply_masks=apply_masks,
+            dtype=dtype,
+        ),
+        class_encoder=class_encoder_mod,
+        embeddings_per_example=embeddings_per_example or 1,
+        embedding_extraction=embedding_extraction,
+        apply_masks=apply_masks,
+        dtype=dtype,
+    )
+
+    mask_decoder = build_mask_decoder(
+        embed_dim=embed_dim,
+        spatial_convs=spatial_convs,
+        segment_example_logits=segment_example_logits,
+        fusion_transformer=fusion_transformer,
+        decoder_attention_downsample_rate=decoder_attention_downsample_rate,
+        classification_layer_downsample_rate=classification_layer_downsample_rate,
+        transformer_feature_size=transformer_feature_size,
+        dropout=dropout,
+        few_type=few_type,
+        class_fusion=class_fusion,
+        classification_levels=classification_levels,
+        conv_classification=conv_classification,
+        transformer_keys_are_images=transformer_keys_are_images,
+        apply_masks=apply_masks,
+        dtype=dtype,
+    )
+
+    lam_cls = BinaryLam if binary else Lam
+    return lam_cls(
+        image_size=image_size,
+        image_encoder=vit,
+        neck=neck,
+        prompt_encoder=prompt_encoder_mod,
+        mask_decoder=mask_decoder,
+        custom_preprocess=custom_preprocess,
+    )
+
+
+build_lam = _build_lam
+
+
+def build_lam_vit_b(**kwargs):
+    return _build_lam(build_vit_b, **kwargs)
+
+
+def build_lam_vit_l(**kwargs):
+    return _build_lam(build_vit_l, **kwargs)
+
+
+def build_lam_vit_h(**kwargs):
+    return _build_lam(build_vit_h, **kwargs)
+
+
+def build_lam_vit_mae_b(**kwargs):
+    return _build_lam(build_vit_b_mae, **kwargs)
+
+
+def build_lam_vit_b_imagenet_i21k(**kwargs):
+    return _build_lam(build_vit_b_imagenet_i21k, **kwargs)
+
+
+def build_lam_dino_b8(**kwargs):
+    return _build_lam(build_vit_dino_b8, **kwargs)
+
+
+def build_lam_no_vit(**kwargs):
+    return _build_lam(build_vit=None, use_vit=False, **kwargs)

@@ -1,0 +1,246 @@
+"""SAM / ViTDet-style image encoder (reference: label_anything/models/image_encoder.py).
+
+TPU-first notes:
+  * Channels-last throughout; patch embedding is a strided conv that XLA maps
+    straight onto the MXU.
+  * Window partitioning is a static reshape/transpose (img_size and
+    window_size are fixed per build), so the whole encoder is one compiled
+    graph with zero dynamic shapes.
+  * Decomposed relative-position attention is expressed as an additive bias on
+    the attention scores; the q-independent gather of Rh/Rw tables is hoisted
+    out so XLA fuses bias construction into the score matmul. A fully fused
+    Pallas kernel (bias computed tile-wise inside flash attention) is the
+    planned upgrade for the global layers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+from .common import LayerNorm2d, MLPBlock
+
+
+def window_partition(x: jax.Array, window_size: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """(B, H, W, C) -> (B * nW, ws, ws, C) with bottom/right zero padding
+    (reference: image_encoder.py:258-280)."""
+    b, h, w, c = x.shape
+    pad_h = (window_size - h % window_size) % window_size
+    pad_w = (window_size - w % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window_size, window_size, wp // window_size, window_size, c)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, c)
+    return windows, (hp, wp)
+
+
+def window_unpartition(
+    windows: jax.Array, window_size: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jax.Array:
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window_size // window_size)
+    x = windows.reshape(
+        b, hp // window_size, wp // window_size, window_size, window_size, -1
+    )
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Select (and if needed linearly resize) relative-position rows
+    (reference: image_encoder.py:311-337)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear", antialias=False
+        )
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative_coords = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[relative_coords.astype(jnp.int32)]
+
+
+def decomposed_rel_pos_bias(
+    q: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    q_size: Tuple[int, int],
+    k_size: Tuple[int, int],
+) -> jax.Array:
+    """Decomposed rel-pos attention bias (reference: image_encoder.py:340-376).
+
+    q: (B*, q_h*q_w, head_dim). Returns (B*, q_h*q_w, k_h*k_w).
+    """
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    rh = get_rel_pos(q_h, k_h, rel_pos_h)  # (q_h, k_h, d)
+    rw = get_rel_pos(q_w, k_w, rel_pos_w)  # (q_w, k_w, d)
+    bsz, _, dim = q.shape
+    r_q = q.reshape(bsz, q_h, q_w, dim)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)
+    bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B, qh, qw, kh, kw)
+    return bias.reshape(bsz, q_h * q_w, k_h * k_w)
+
+
+class ViTAttention(nn.Module):
+    """ViT attention with optional decomposed rel-pos
+    (reference: image_encoder.py:200-255)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    use_rel_pos: bool = False
+    input_size: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (b, hw, heads, hd)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        bias = None
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+            )
+            q_flat = q.reshape(b * self.num_heads, h * w, head_dim)
+            bias = decomposed_rel_pos_bias(
+                q_flat, rel_pos_h, rel_pos_w, (h, w), (h, w)
+            ).reshape(b, self.num_heads, h * w, h * w)
+
+        out = dot_product_attention(q, k, v, bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Windowed/global transformer block (reference: image_encoder.py:134-197)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_rel_pos: bool = False
+    window_size: int = 0
+    input_size: Optional[Tuple[int, int]] = None
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.window_size > 0:
+            h, w = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, self.window_size)
+        x = ViTAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            use_rel_pos=self.use_rel_pos,
+            input_size=(
+                self.input_size if self.window_size == 0
+                else (self.window_size, self.window_size)
+            ),
+            dtype=self.dtype,
+            name="attn",
+        )(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (h, w))
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = MLPBlock(self.dim, int(self.dim * self.mlp_ratio), act=self.act,
+                     dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class ImageEncoderViT(nn.Module):
+    """SAM image encoder (reference: image_encoder.py:19-131).
+
+    Input (B, H, W, 3) channels-last; output (B, H/16, W/16, out_chans)
+    (or the pre-neck 768-dim state when ``project_last_hidden=False``).
+    """
+
+    img_size: int = 1024
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    qkv_bias: bool = True
+    use_abs_pos: bool = True
+    use_rel_pos: bool = False
+    window_size: int = 0
+    global_attn_indexes: Tuple[int, ...] = ()
+    project_last_hidden: bool = True
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, return_last_block_state: bool = False):
+        grid = self.img_size // self.patch_size
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        if self.use_abs_pos:
+            pos_embed = self.param(
+                "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim)
+            )
+            x = x + pos_embed
+
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock, static_argnums=())
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                use_rel_pos=self.use_rel_pos,
+                window_size=self.window_size if i not in self.global_attn_indexes else 0,
+                input_size=(grid, grid),
+                act=self.act,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+
+        last_block = x
+        if not self.project_last_hidden:
+            return x
+
+        # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (no biases)
+        y = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="neck_conv1")(x)
+        y = LayerNorm2d(self.out_chans, dtype=self.dtype, name="neck_ln1")(y)
+        y = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="neck_conv2")(y)
+        y = LayerNorm2d(self.out_chans, dtype=self.dtype, name="neck_ln2")(y)
+
+        if return_last_block_state:
+            return {"last_hidden_state": y, "last_block_state": last_block}
+        return y

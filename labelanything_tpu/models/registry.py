@@ -1,0 +1,51 @@
+"""Model registry (reference: label_anything/models/__init__.py:33-60).
+
+Maps config names to architecture builders. Competitor baselines (DCAMA,
+FPTrans, PANet, PPNet, DENet) are eval-only vendored models in the reference;
+their TPU ports are tracked for later rounds and raise with a clear message
+until then.
+"""
+
+from __future__ import annotations
+
+from .build_encoder import ENCODERS
+from .build_lam import (
+    build_lam,
+    build_lam_dino_b8,
+    build_lam_no_vit,
+    build_lam_vit_b,
+    build_lam_vit_b_imagenet_i21k,
+    build_lam_vit_h,
+    build_lam_vit_l,
+    build_lam_vit_mae_b,
+)
+from .dummy import build_dummy
+
+
+def _not_ported(name):
+    def _raise(**kwargs):
+        raise NotImplementedError(
+            f"Competitor baseline {name!r} is not ported to TPU yet "
+            "(eval-only model in the reference)."
+        )
+
+    return _raise
+
+
+model_registry = {
+    "lam": build_lam,
+    "lam_no_vit": build_lam_no_vit,
+    "lam_h": build_lam_vit_h,
+    "lam_l": build_lam_vit_l,
+    "lam_b": build_lam_vit_b,
+    "lam_mae_b": build_lam_vit_mae_b,
+    "lam_dino_b8": build_lam_dino_b8,
+    "lam_b_imagenet_i21k": build_lam_vit_b_imagenet_i21k,
+    "dummy": build_dummy,
+    "dcama": _not_ported("dcama"),
+    "fptrans": _not_ported("fptrans"),
+    "panet": _not_ported("panet"),
+    "ppnet": _not_ported("ppnet"),
+    "denet": _not_ported("denet"),
+    **ENCODERS,
+}

@@ -1,0 +1,294 @@
+"""Fusion transformers (reference: label_anything/models/transformer.py).
+
+Token tensors are (B, N, D); image tensors arrive channels-last (B, H, W, D)
+and are flattened to (B, HW, D) at the boundary. ``query_mask`` / ``key_mask``
+arguments follow the reference call signatures; whether they actually mask is
+governed by ``apply_masks`` (see models/common.py docstring for the reference
+masking no-op).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import Attention, AttentionMLPBlock, MLPBlock
+
+
+def _flatten_image(x: jax.Array) -> jax.Array:
+    """(B, H, W, D) -> (B, HW, D)."""
+    b, h, w, d = x.shape
+    return x.reshape(b, h * w, d)
+
+
+class IdentityTransformer(nn.Module):
+    """Pass-through fusion (reference: transformer.py:17-23)."""
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, token_embedding, query_mask=None,
+                 *, deterministic: bool = True):
+        return token_embedding, _flatten_image(image_embedding)
+
+
+class OneWayAttentionBlock(nn.Module):
+    """Cross-attention block: queries attend to keys
+    (reference: transformer.py:106-155)."""
+
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int = 2048
+    activation: Callable = nn.relu
+    attention_downsample_rate: int = 2
+    dropout: float = 0.0
+    apply_masks: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_mask=None, *, deterministic=True):
+        q = queries + query_pe
+        attn_out = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate,
+            dropout=self.dropout, apply_masks=self.apply_masks, dtype=self.dtype,
+            name="cross_attn_image_to_token",
+        )(q, keys, keys, key_mask=key_mask, deterministic=deterministic)
+        queries = queries + attn_out
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(queries)
+
+        mlp_out = MLPBlock(
+            self.embedding_dim, self.mlp_dim, act=self.activation,
+            dropout=self.dropout, dtype=self.dtype, name="mlp",
+        )(queries, deterministic=deterministic)
+        queries = queries + mlp_out
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(queries)
+        return queries
+
+
+class OneWayTransformer(nn.Module):
+    """Image tokens attend to class tokens (reference: transformer.py:26-103)."""
+
+    depth: int
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int
+    activation: Callable = nn.relu
+    attention_downsample_rate: int = 2
+    dropout: float = 0.0
+    apply_masks: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, token_embedding, query_mask=None,
+                 *, deterministic: bool = True):
+        queries = _flatten_image(image_embedding)
+        image_pe = _flatten_image(image_pe)
+        keys = token_embedding
+        for i in range(self.depth):
+            queries = OneWayAttentionBlock(
+                embedding_dim=self.embedding_dim,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                activation=self.activation,
+                attention_downsample_rate=self.attention_downsample_rate,
+                dropout=self.dropout,
+                apply_masks=self.apply_masks,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(queries, keys, image_pe, key_mask=query_mask, deterministic=deterministic)
+        return keys, queries
+
+
+class TwoWayAttentionBlock(nn.Module):
+    """SAM-style bidirectional block (reference: transformer.py:255-330)."""
+
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int = 2048
+    activation: Callable = nn.relu
+    attention_downsample_rate: int = 2
+    skip_first_layer_pe: bool = False
+    dropout: float = 0.0
+    apply_masks: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe, query_mask=None,
+                 *, deterministic: bool = True):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+
+        self_attn = Attention(
+            self.embedding_dim, self.num_heads, dropout=self.dropout,
+            apply_masks=self.apply_masks, dtype=self.dtype, name="self_attn",
+        )
+        if self.skip_first_layer_pe:
+            queries = self_attn(queries, queries, queries, key_mask=query_mask,
+                                deterministic=deterministic)
+        else:
+            q = queries + query_pe
+            queries = queries + self_attn(q, q, queries, deterministic=deterministic)
+        queries = ln("norm1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate, dropout=self.dropout,
+            apply_masks=self.apply_masks, dtype=self.dtype,
+            name="cross_attn_token_to_image",
+        )(q, k, keys, deterministic=deterministic)
+        queries = queries + attn_out
+        queries = ln("norm2")(queries)
+
+        mlp_out = MLPBlock(
+            self.embedding_dim, self.mlp_dim, act=self.activation,
+            dropout=self.dropout, dtype=self.dtype, name="mlp",
+        )(queries, deterministic=deterministic)
+        queries = queries + mlp_out
+        queries = ln("norm3")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate, dropout=self.dropout,
+            apply_masks=self.apply_masks, dtype=self.dtype,
+            name="cross_attn_image_to_token",
+        )(k, q, queries, key_mask=query_mask, deterministic=deterministic)
+        keys = keys + attn_out
+        keys = ln("norm4")(keys)
+
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    """Token<->image bidirectional fusion (reference: transformer.py:157-252)."""
+
+    depth: int
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int
+    activation: Callable = nn.relu
+    attention_downsample_rate: int = 2
+    dropout: float = 0.0
+    apply_masks: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        image_embedding: jax.Array,   # (B, H, W, D) channels-last
+        image_pe: jax.Array,          # (B or 1, H, W, D)
+        point_embedding: jax.Array,   # (B, N, D)
+        query_mask: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        keys = _flatten_image(image_embedding)
+        image_pe = _flatten_image(jnp.broadcast_to(image_pe, image_embedding.shape))
+        queries = point_embedding
+
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock(
+                embedding_dim=self.embedding_dim,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                activation=self.activation,
+                attention_downsample_rate=self.attention_downsample_rate,
+                skip_first_layer_pe=(i == 0),
+                dropout=self.dropout,
+                apply_masks=self.apply_masks,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(queries, keys, point_embedding, image_pe, query_mask=query_mask,
+              deterministic=deterministic)
+
+        q = queries + point_embedding
+        k = keys + image_pe
+        attn_out = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate, dropout=self.dropout,
+            apply_masks=self.apply_masks, dtype=self.dtype,
+            name="final_attn_token_to_image",
+        )(q, k, keys, deterministic=deterministic)
+        queries = queries + attn_out
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_final_attn")(queries)
+        return queries, keys
+
+
+class AffinityBlock(nn.Module):
+    """DCAMA-style mask-valued attention block (reference: transformer.py:332-364)."""
+
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int
+    activation: Callable = nn.relu
+    attention_downsample_rate: int = 2
+    dropout: float = 0.0
+    apply_masks: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_features, support_features, support_masks, image_pe,
+                 attn_mask=None, *, deterministic: bool = True):
+        bc, hw, _ = image_features.shape
+        pe = _flatten_image(image_pe)  # (1, HW, D)
+        shots = support_features.shape[1] // hw
+        support_pe = jnp.tile(pe, (1, shots, 1))
+        queries = image_features + pe
+        keys = support_features + support_pe
+        out = AttentionMLPBlock(
+            embed_dim=self.embedding_dim,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            act=self.activation,
+            downsample_rate=self.attention_downsample_rate,
+            dropout=self.dropout,
+            apply_masks=self.apply_masks,
+            dtype=self.dtype,
+            name="attention",
+        )(queries, keys, support_masks, attn_mask=attn_mask, deterministic=deterministic)
+        return out + image_features
+
+
+class AffinityTransformer(nn.Module):
+    """Stack of AffinityBlocks (reference: transformer.py:362-403)."""
+
+    depth: int
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int
+    activation: Callable = nn.relu
+    attention_downsample_rate: int = 2
+    dropout: float = 0.0
+    apply_masks: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embedding, support_features, support_masks, image_pe,
+                 flag_examples, *, deterministic: bool = True):
+        hw = image_embedding.shape[1]
+        # (B, M, C) flags -> per-(b,c) key mask over (M * HW) support tokens
+        b, m, c = flag_examples.shape
+        attn_mask = jnp.repeat(
+            flag_examples.transpose(0, 2, 1).reshape(b * c, m), hw, axis=-1
+        )
+        attn_mask = jnp.broadcast_to(
+            attn_mask[:, None, None, :], (b * c, self.num_heads, hw, m * hw)
+        )
+        for i in range(self.depth):
+            image_embedding = AffinityBlock(
+                embedding_dim=self.embedding_dim,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                activation=self.activation,
+                attention_downsample_rate=self.attention_downsample_rate,
+                dropout=self.dropout,
+                apply_masks=self.apply_masks,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(image_embedding, support_features, support_masks, image_pe,
+              attn_mask=attn_mask, deterministic=deterministic)
+        return image_embedding

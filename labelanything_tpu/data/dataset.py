@@ -1,0 +1,253 @@
+"""Multi-dataset union, batch collate and the variable episode sampler
+(reference: label_anything/data/dataset.py).
+
+TPU-first collate: class and annotation axes are padded to *bucketed* sizes
+(next multiple of ``annotation_bucket``) so the number of distinct compiled
+shapes stays bounded; validity flags carry raggedness exactly as in the
+reference. (The reference pads to the per-batch max, which on GPU is free but
+on TPU would trigger a recompile per batch.)
+
+Note: the reference's ``collate_example_flags`` (data/utils.py:404-410)
+contains a latent shape bug (squeeze(dim=1) of a 1-D row); the behavioural
+intent — zero-pad (M, C_old) example flags to (M, C) — is what is
+implemented here.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..typing import BatchKeys, BatchMetadataKeys, PromptType
+from .coco import CocoLVISDataset
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+DATASET_REGISTRY = {
+    "coco": CocoLVISDataset,
+    "lvis": CocoLVISDataset,
+}
+
+
+def register_dataset(name: str, cls) -> None:
+    DATASET_REGISTRY[name] = cls
+
+
+class LabelAnythingDataset:
+    """Union of episodic datasets (reference: dataset.py:31-235)."""
+
+    def __init__(self, datasets_params: Dict[str, dict], common_params: dict,
+                 annotation_bucket: int = 8):
+        self.datasets = {
+            name: DATASET_REGISTRY[name.split("_")[0]](
+                **{**common_params, **params})
+            for name, params in datasets_params.items()
+        }
+        self.categories = {
+            name: ds.categories for name, ds in self.datasets.items()
+        }
+        index = [
+            (name, i)
+            for name, ds in self.datasets.items()
+            for i in range(len(ds))
+        ]
+        self.index = dict(enumerate(index))
+        self.annotation_bucket = annotation_bucket
+
+    def __len__(self):
+        return sum(len(ds) for ds in self.datasets.values())
+
+    def __getitem__(self, idx_metadata):
+        idx, batch_metadata = idx_metadata
+        name, dataset_index = self.index[idx]
+        return self.datasets[name][(dataset_index, batch_metadata)], name
+
+    def collate_fn(self, batched_input: List[Tuple[dict, str]]):
+        """Pad episode items into one fixed-shape batch. Returns
+        ((data_dict, ground_truths), dataset_names)."""
+        items, dataset_names = zip(*batched_input)
+        b = len(items)
+        bucket = self.annotation_bucket
+
+        max_classes = max(x[BatchKeys.PROMPT_MASKS].shape[1] for x in items)
+        n_points = _round_up(
+            max(x[BatchKeys.PROMPT_POINTS].shape[2] for x in items), bucket)
+        n_boxes = _round_up(
+            max(x[BatchKeys.PROMPT_BBOXES].shape[2] for x in items), bucket)
+
+        def pad_to(x, shape):
+            out = np.zeros(shape, x.dtype)
+            out[tuple(slice(0, s) for s in x.shape)] = x
+            return out
+
+        n_imgs = items[0][BatchKeys.PROMPT_MASKS].shape[0]
+        msl = items[0][BatchKeys.PROMPT_MASKS].shape[-1]
+
+        batch: Dict[str, Any] = {}
+        batch[BatchKeys.PROMPT_MASKS] = np.stack([
+            pad_to(x[BatchKeys.PROMPT_MASKS], (n_imgs, max_classes, msl, msl))
+            for x in items])
+        batch[BatchKeys.FLAG_MASKS] = np.stack([
+            pad_to(x[BatchKeys.FLAG_MASKS], (n_imgs, max_classes)) for x in items])
+        batch[BatchKeys.PROMPT_BBOXES] = np.stack([
+            pad_to(x[BatchKeys.PROMPT_BBOXES], (n_imgs, max_classes, n_boxes, 4))
+            for x in items])
+        batch[BatchKeys.FLAG_BBOXES] = np.stack([
+            pad_to(x[BatchKeys.FLAG_BBOXES], (n_imgs, max_classes, n_boxes))
+            for x in items])
+        batch[BatchKeys.PROMPT_POINTS] = np.stack([
+            pad_to(x[BatchKeys.PROMPT_POINTS], (n_imgs, max_classes, n_points, 2))
+            for x in items])
+        batch[BatchKeys.FLAG_POINTS] = np.stack([
+            pad_to(x[BatchKeys.FLAG_POINTS], (n_imgs, max_classes, n_points))
+            for x in items])
+        batch[BatchKeys.FLAG_EXAMPLES] = np.stack([
+            pad_to(x[BatchKeys.FLAG_EXAMPLES], (n_imgs, max_classes))
+            for x in items])
+        batch[BatchKeys.DIMS] = np.stack([x[BatchKeys.DIMS] for x in items])
+
+        image_key = (BatchKeys.EMBEDDINGS if BatchKeys.EMBEDDINGS in items[0]
+                     else BatchKeys.IMAGES)
+        batch[image_key] = np.stack([x[image_key] for x in items])
+
+        classes = [x[BatchKeys.CLASSES] for x in items]
+        flag_gts = np.zeros((b, max_classes), bool)
+        for i, x in enumerate(classes):
+            flag_gts[i, : len(set(itertools.chain(*x))) + 1] = True
+        batch[BatchKeys.FLAG_GTS] = flag_gts
+        batch[BatchKeys.CLASSES] = classes
+        batch[BatchKeys.IMAGE_IDS] = [x[BatchKeys.IMAGE_IDS] for x in items]
+
+        ground_truths = np.stack([x[BatchKeys.GROUND_TRUTHS] for x in items])
+        batch[BatchKeys.GROUND_TRUTHS] = ground_truths
+        return (batch, ground_truths), dataset_names
+
+
+def get_batch_metadata(
+    dataset_len: int,
+    possible_batch_example_nums: Sequence[Sequence[int]],
+    possible_prompts: Sequence[PromptType],
+    prompt_choice_level: str = "batch",
+    num_processes: int = 1,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Sample the epoch's (batch_size, [num_classes], num_examples) schedule
+    (reference: dataset.py:238-306). Each tuple is replicated
+    ``num_processes`` times so every data-parallel rank sees the same shape."""
+    rng = rng or np.random.default_rng()
+    combs = [c for i in range(1, len(possible_prompts) + 1)
+             for c in itertools.combinations(possible_prompts, i)]
+    batch_sizes, examples_nums, prompt_types, num_classes = [], [], [], []
+    remaining = dataset_len // num_processes
+    while remaining > 0:
+        res = possible_batch_example_nums[
+            int(rng.integers(len(possible_batch_example_nums)))]
+        num_class = None
+        if len(res) == 1:
+            cur_bs, examples_num = res[0], None
+        elif len(res) == 2:
+            cur_bs, examples_num = res
+        elif len(res) == 3:
+            cur_bs, num_class, examples_num = res
+        else:
+            raise ValueError("Invalid batch metadata tuple")
+        cur_bs = min(cur_bs, remaining)
+        prompt_types.append(combs[int(rng.integers(len(combs)))])
+        examples_nums.append(examples_num)
+        batch_sizes.append(cur_bs)
+        if num_class is not None:
+            num_classes.append(num_class)
+        remaining -= cur_bs
+
+    rep = lambda lst: [v for tup in zip(*[lst] * num_processes) for v in tup]
+    batch_sizes = rep(batch_sizes)
+    metadata = {
+        BatchMetadataKeys.NUM_EXAMPLES: rep(examples_nums),
+        BatchMetadataKeys.PROMPT_TYPES: (
+            combs if prompt_choice_level == "episode" else rep(prompt_types)),
+    }
+    if num_classes:
+        metadata[BatchMetadataKeys.NUM_CLASSES] = rep(num_classes)
+    return batch_sizes, metadata
+
+
+class VariableBatchSampler:
+    """Epoch scheduler over (batch_size, n_ways, n_shots) buckets
+    (reference: dataset.py:309-439)."""
+
+    def __init__(
+        self,
+        data_source,
+        possible_batch_example_nums: Sequence[Sequence[int]],
+        prompt_types: Optional[Sequence[PromptType]] = None,
+        prompt_choice_level: str = "batch",
+        shuffle: bool = False,
+        num_processes: int = 1,
+        num_steps: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        self.data_source = data_source
+        self.rng = np.random.default_rng(seed)
+        prompt_types = list(prompt_types or
+                            [PromptType.BBOX, PromptType.MASK, PromptType.POINT])
+        self.prompt_choice_level = prompt_choice_level
+        self.num_processes = num_processes
+        self.batch_sizes, self.batch_metadata = get_batch_metadata(
+            len(data_source), possible_batch_example_nums,
+            possible_prompts=prompt_types,
+            prompt_choice_level=prompt_choice_level,
+            num_processes=num_processes, rng=self.rng,
+        )
+        if num_steps is not None:
+            num_steps -= num_steps % num_processes
+            self.batch_sizes = self.batch_sizes[:num_steps]
+            self.batch_metadata = {
+                k: (v[:num_steps] if isinstance(v, list) else v)
+                for k, v in self.batch_metadata.items()
+            }
+        self.do_shuffle = shuffle
+
+    def __len__(self):
+        return len(self.batch_sizes)
+
+    def shuffle(self):
+        p = self.num_processes
+        batches = self.batch_sizes[::p]
+        meta = {k: (v[::p] if isinstance(v, list) else v)
+                for k, v in self.batch_metadata.items()}
+        order = self.rng.permutation(len(batches))
+        rep = lambda lst: [v for tup in zip(*[lst] * p) for v in tup]
+        self.batch_sizes = rep([batches[i] for i in order])
+        self.batch_metadata = {
+            k: (rep([v[i] for i in order]) if isinstance(v, list) else v)
+            for k, v in meta.items()
+        }
+
+    def __iter__(self) -> Iterator[List[Tuple[int, dict]]]:
+        if self.do_shuffle:
+            self.shuffle()
+            indices = iter(self.rng.permutation(len(self.data_source)).tolist())
+        else:
+            indices = iter(range(len(self.data_source)))
+        for i, batch_size in enumerate(self.batch_sizes):
+            if self.prompt_choice_level == "episode":
+                metadata = {k: v[i] for k, v in self.batch_metadata.items()
+                            if k != BatchMetadataKeys.PROMPT_TYPES}
+                metadata[BatchMetadataKeys.PROMPT_TYPES] = self.batch_metadata[
+                    BatchMetadataKeys.PROMPT_TYPES]
+            else:
+                metadata = {k: v[i] for k, v in self.batch_metadata.items()}
+            metadata[BatchMetadataKeys.PROMPT_CHOICE_LEVEL] = self.prompt_choice_level
+            batch = []
+            try:
+                while len(batch) < batch_size:
+                    batch.append((next(indices), metadata))
+            except StopIteration:
+                if not batch:
+                    return
+            yield batch

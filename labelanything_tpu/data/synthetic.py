@@ -91,3 +91,29 @@ def random_batch(
     dims = np.tile(np.asarray([s, int(s * 0.9)], np.int32), (b, m + 1, 1))
     batch[BatchKeys.DIMS] = dims
     return batch
+
+
+def random_full_batch(**kw) -> Dict[str, np.ndarray]:
+    """Training-loop batch variant: prompt tensors and GROUND_TRUTHS carry the
+    full N = M+1 image axis (query slot included), as consumed by the
+    Substitutor (reference: experiment/substitution.py divide_query_examples).
+    """
+    kw.setdefault("num_examples", 1)
+    m = kw["num_examples"]
+    kw["num_examples"] = m + 1
+    batch = random_batch(**kw)
+    b = batch[BatchKeys.DIMS].shape[0]
+    s = kw.get("image_size", 480)
+    g = kw.get("gt_size") or s
+    c = kw.get("num_classes", 2)
+    rng = np.random.default_rng(kw.get("seed", 0) + 1)
+    gt = rng.integers(0, c, (b, m + 1, g, g)).astype(np.int32)
+    gt[:, :, :, int(g * 0.9):] = IGNORE_INDEX
+    batch[BatchKeys.GROUND_TRUTHS] = gt
+    # fix the embeddings/dims axis: random_batch made M+2 images; trim to M+1
+    if BatchKeys.EMBEDDINGS in batch:
+        batch[BatchKeys.EMBEDDINGS] = batch[BatchKeys.EMBEDDINGS][:, : m + 1]
+    if BatchKeys.IMAGES in batch:
+        batch[BatchKeys.IMAGES] = batch[BatchKeys.IMAGES][:, : m + 1]
+    batch[BatchKeys.DIMS] = batch[BatchKeys.DIMS][:, : m + 1]
+    return batch

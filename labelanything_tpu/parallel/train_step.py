@@ -1,0 +1,145 @@
+"""pjit-compiled training / evaluation steps.
+
+One jitted function per (shape-bucket, prompt-modality combo) carries the
+whole pass: forward, loss, backward, gradient accumulation and the optimizer
+update. The batch is sharded over the mesh's ``data`` axis; parameters are
+replicated; XLA inserts the gradient all-reduce over ICI automatically from
+the sharding propagation (the TPU-native equivalent of DDP's NCCL allreduce,
+reference: experiment/run.py:361 accelerator.backward).
+
+Gradient accumulation over substitution passes reproduces the reference's
+``nosync_accumulation`` (experiment/utils.py:252-259): grads accumulate in
+the (sharded-consistent) state and the update applies on the final pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.losses import LabelAnythingLoss
+from ..train.metrics import binary_confusion_matrix, confusion_matrix
+from ..typing import BatchKeys, LossDict, ResultDict
+
+
+class TrainState(NamedTuple):
+    params: Any          # {"model": ..., "loss": ...}
+    opt_state: Any
+    accum: Any           # accumulated grads pytree (zeros when idle)
+    step: jax.Array      # optimizer step counter
+
+
+def init_train_state(params: Dict[str, Any], tx: optax.GradientTransformation) -> TrainState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        accum=zeros,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model,
+    loss_module: LabelAnythingLoss,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    num_classes: Optional[int] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returned signature:
+      ``train_step(state, batch, gt, rng, loss_scale, apply_update) ->
+      (state, aux)`` where ``apply_update`` is static; ``loss_scale`` is the
+      reference's 1/loss_normalizer for substitution accumulation.
+    """
+
+    def loss_fn(params, batch, gt, rng):
+        rngs = {
+            "class_rows": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+        }
+        result = model.apply(
+            params["model"], batch, deterministic=False, rngs=rngs
+        )
+        loss_out = loss_module.apply(params["loss"], result, gt)
+        return loss_out[LossDict.VALUE], (loss_out[LossDict.COMPONENTS], result)
+
+    def step_fn(state: TrainState, batch, gt, rng, loss_scale, *, apply_update: bool):
+        (loss, (components, result)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, gt, rng)
+        grads = jax.tree.map(lambda g: g * loss_scale, grads)
+        accum = jax.tree.map(jnp.add, state.accum, grads)
+
+        if apply_update:
+            updates, opt_state = tx.update(accum, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                accum=jax.tree.map(jnp.zeros_like, accum),
+                step=state.step + 1,
+            )
+        else:
+            new_state = state._replace(accum=accum)
+
+        logits = result[ResultDict.LOGITS]
+        preds = jnp.argmax(logits, axis=1)
+        aux = {
+            "loss": loss,
+            "components": components,
+            "preds": preds,
+        }
+        if num_classes is not None:
+            aux["confmat"] = confusion_matrix(preds, gt, num_classes)
+            aux["confmat2"] = binary_confusion_matrix(preds, gt)
+        return new_state, aux
+
+    if mesh is None:
+        return jax.jit(step_fn, static_argnames=("apply_update",), donate_argnums=(0,))
+
+    # pjit rejects kwargs when in_shardings is given -> one compiled callable
+    # per static apply_update value, dispatched by a thin wrapper.
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def make(apply_update: bool):
+        return jax.jit(
+            functools.partial(step_fn, apply_update=apply_update),
+            donate_argnums=(0,),
+            in_shardings=(repl, data, data, repl, repl),
+            out_shardings=(repl, repl),
+        )
+
+    compiled = {True: make(True), False: make(False)}
+
+    def train_step(state, batch, gt, rng, loss_scale, *, apply_update: bool = True):
+        return compiled[apply_update](state, batch, gt, rng, loss_scale)
+
+    return train_step
+
+
+def make_eval_step(model, num_classes: int, mesh: Optional[Mesh] = None) -> Callable:
+    """Jitted eval step returning confusion-matrix contributions."""
+
+    def step_fn(params, batch, gt):
+        result = model.apply(params["model"], batch, deterministic=True)
+        logits = result[ResultDict.LOGITS]
+        preds = jnp.argmax(logits, axis=1)
+        return {
+            "confmat": confusion_matrix(preds, gt, num_classes),
+            "confmat2": binary_confusion_matrix(preds, gt),
+            "preds": preds,
+        }
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn, in_shardings=(repl, data, data), out_shardings=None)

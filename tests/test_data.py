@@ -1,0 +1,200 @@
+"""Data-engine tests: RLE codec, transforms, episodic COCO dataset, sampler,
+collate — ending in a real end-to-end forward through the model."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from labelanything_tpu.data import rle
+from labelanything_tpu.data.coco import CocoLVISDataset
+from labelanything_tpu.data.dataset import LabelAnythingDataset, VariableBatchSampler
+from labelanything_tpu.data.transforms import (
+    CustomNormalize, CustomResize, PromptsProcessor, get_preprocess_shape,
+)
+from labelanything_tpu.typing import BatchKeys, IGNORE_INDEX, PromptType
+
+
+# --------------------------------------------------------------------- #
+# RLE codec
+# --------------------------------------------------------------------- #
+
+def test_rle_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        mask = (rng.random((37, 53)) > 0.7).astype(np.uint8)
+        enc = rle.encode(mask)
+        dec = rle.decode(enc)
+        np.testing.assert_array_equal(mask, dec)
+
+
+def test_rle_empty_and_full():
+    for mask in (np.zeros((8, 8), np.uint8), np.ones((8, 8), np.uint8)):
+        np.testing.assert_array_equal(rle.decode(rle.encode(mask)), mask)
+
+
+def test_uncompressed_rle():
+    # column-major runs: 3 zeros, 2 ones, 7 zeros in a 3x4 image
+    ann = {"size": [3, 4], "counts": [3, 2, 7]}
+    mask = rle.ann_to_mask(ann, 3, 4)
+    expected = np.zeros((3, 4), np.uint8)
+    expected[0, 1] = 1  # flat col-major idx 3 -> (row 0, col 1)
+    expected[1, 1] = 1
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_polygon_rasterization():
+    poly = [[1.0, 1.0, 6.0, 1.0, 6.0, 6.0, 1.0, 6.0]]
+    mask = rle.poly_to_mask(poly, 8, 8)
+    assert mask[3, 3] == 1 and mask[0, 0] == 0
+    assert mask.sum() >= 25
+
+
+def test_degenerate_polygon_fallback():
+    mask = rle.ann_to_mask([[100.0, 100.0]], 8, 8)  # out of bounds point
+    assert mask.sum() == 1 and mask[7, 7] == 1
+
+
+# --------------------------------------------------------------------- #
+# transforms
+# --------------------------------------------------------------------- #
+
+def test_preprocess_shape_and_pad():
+    assert get_preprocess_shape(480, 640, 1024) == (768, 1024)
+    img = Image.new("RGB", (640, 480), (128, 64, 32))
+    resized = CustomResize(64)(img)
+    assert resized.size == (64, 48)
+    out = CustomNormalize(64)(resized)
+    assert out.shape == (64, 64, 3)
+    assert (out[48:] == 0).all()  # bottom padding
+
+
+def test_prompts_processor_coords():
+    pp = PromptsProcessor(long_side_length=100)
+    coords = pp.apply_coords(np.asarray([[200.0, 100.0]]), (200, 400))
+    # long side 400 -> 100; (H, W) = (200, 400) -> (50, 100)
+    np.testing.assert_allclose(coords, [[50.0, 25.0]])
+    box = pp.convert_bbox([10, 20, 30, 40], 200, 400)
+    assert box == [10, 20, 40, 60]
+
+
+# --------------------------------------------------------------------- #
+# synthetic COCO fixture
+# --------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    ann_id = 1
+    n_imgs = 8
+    for i in range(1, n_imgs + 1):
+        h, w = 60 + 4 * i, 80
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        name = f"img{i:03d}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        images.append({"id": i, "file_name": name, "height": h, "width": w})
+        # every image has cat 1; even images also cat 2
+        cats = [1] if i % 2 else [1, 2]
+        for cat in cats:
+            x0, y0 = int(rng.integers(0, w // 2)), int(rng.integers(0, h // 2))
+            bw, bh = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+            poly = [[x0, y0, x0 + bw, y0, x0 + bw, y0 + bh, x0, y0 + bh]]
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": cat,
+                "segmentation": poly, "bbox": [x0, y0, bw, bh],
+                "area": bw * bh, "iscrowd": 0,
+            })
+            ann_id += 1
+    inst = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+    }
+    (root / "instances.json").write_text(json.dumps(inst))
+    return root
+
+
+def test_coco_dataset_episode(coco_dir):
+    ds = CocoLVISDataset(
+        name="coco",
+        instances_path=str(coco_dir / "instances.json"),
+        img_dir=str(coco_dir / "images"),
+        image_size=64,
+        add_box_noise=False,
+        seed=0,
+    )
+    from labelanything_tpu.typing import BatchMetadataKeys
+
+    meta = {
+        BatchMetadataKeys.PROMPT_TYPES: [PromptType.POINT, PromptType.BBOX,
+                                         PromptType.MASK],
+        BatchMetadataKeys.NUM_EXAMPLES: 2,
+        BatchMetadataKeys.PROMPT_CHOICE_LEVEL: "batch",
+    }
+    item = ds[(0, meta)]
+    n_imgs = item[BatchKeys.PROMPT_MASKS].shape[0]
+    assert n_imgs == 3  # query + 2 examples
+    c = item[BatchKeys.PROMPT_MASKS].shape[1]
+    assert c >= 2  # bg + >= 1 class
+    assert item[BatchKeys.IMAGES].shape == (3, 64, 64, 3)
+    gt = item[BatchKeys.GROUND_TRUTHS]
+    assert gt.shape == (3, 64, 64)
+    assert set(np.unique(gt)) <= set(range(c)) | {IGNORE_INDEX}
+    # bg flag always on for every example
+    assert (item[BatchKeys.FLAG_EXAMPLES][:, 0] == 1).all()
+
+
+def test_dataset_sampler_collate_model_e2e(coco_dir):
+    union = LabelAnythingDataset(
+        datasets_params={"coco": {
+            "instances_path": str(coco_dir / "instances.json"),
+            "img_dir": str(coco_dir / "images"),
+        }},
+        common_params={"image_size": 64, "add_box_noise": False, "seed": 0},
+    )
+    sampler = VariableBatchSampler(
+        union, possible_batch_example_nums=[[2, 1], [2, 2]],
+        shuffle=True, seed=1,
+    )
+    batches = list(iter(sampler))
+    assert sum(len(b) for b in batches) == len(union)
+
+    (batch, gts), names = union.collate_fn([union[i] for i in batches[0]])
+    assert names[0] == "coco"
+    b, n = batch[BatchKeys.IMAGES].shape[:2]
+    assert b == len(batches[0])
+    assert gts.shape == (b, n, 64, 64)
+    # annotation axis is bucketed
+    assert batch[BatchKeys.PROMPT_POINTS].shape[3] % 8 == 0
+
+    # end-to-end: substitutor pass -> model forward
+    from labelanything_tpu.models.build_lam import build_lam
+    from labelanything_tpu.train.substitutor import Substitutor
+    from labelanything_tpu.typing import ResultDict
+
+    model = build_lam(
+        use_vit=False, image_embed_dim=3, embed_dim=32, image_size=64,
+        class_encoder={"name": "RandomMatrixEncoder", "bank_size": 10},
+    )
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if k not in (BatchKeys.CLASSES, BatchKeys.IMAGE_IDS)}
+    # stand-in "precomputed embeddings": 16x-strided image pixels (B, N, 4, 4, 3),
+    # projected 3 -> 32 by the neck (image_embed_dim=3 above)
+    jb[BatchKeys.EMBEDDINGS] = jb.pop(BatchKeys.IMAGES)[:, :, ::16, ::16, :]
+    sub = Substitutor(num_points=1)
+    sub.reset(jb)
+    input_dict, gt = next(sub)
+    params = jax.jit(model.init)(jax.random.key(0), input_dict)
+    out = jax.jit(model.apply)(params, input_dict)
+    logits = out[ResultDict.LOGITS]
+    c = batch[BatchKeys.PROMPT_MASKS].shape[2]
+    assert logits.shape == (b, c, 64, 64)
+    assert np.isfinite(np.asarray(logits)).any()

@@ -1,0 +1,207 @@
+"""Training-step tests on an 8-virtual-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from labelanything_tpu.data.synthetic import random_batch, random_full_batch
+from labelanything_tpu.models.build_lam import build_lam_no_vit
+from labelanything_tpu.parallel.mesh import create_mesh, shard_batch
+from labelanything_tpu.parallel.train_step import (
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from labelanything_tpu.train.losses import LabelAnythingLoss
+from labelanything_tpu.train.optim import build_optimizer
+from labelanything_tpu.train.substitutor import Substitutor
+from labelanything_tpu.typing import BatchKeys, IGNORE_INDEX, ResultDict
+
+IMAGE_SIZE = 64
+C = 3
+
+
+def tiny_model():
+    return build_lam_no_vit(
+        image_embed_dim=32, embed_dim=32, image_size=IMAGE_SIZE,
+        class_encoder={"name": "RandomMatrixEncoder", "bank_size": 10},
+    )
+
+
+def test_losses_finite():
+    from labelanything_tpu.train.losses import (
+        dice_loss, false_positive_loss, focal_loss, get_weight_matrix_from_labels,
+    )
+    from labelanything_tpu.train.rmi import rmi_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((2, C, 32, 32)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, C, (2, 32, 32)).astype(np.int32))
+    target = target.at[:, :, 28:].set(IGNORE_INDEX)
+    # -inf class masking must be handled; GT never selects a masked class
+    # (flag_gts guarantees this in the real pipeline — a GT pixel of a
+    # -inf-masked class is infinite CE in the torch reference as well)
+    logits = logits.at[:, 2, :16].set(-np.inf)
+    target = jnp.where((target == 2) & (jnp.arange(32)[None, :, None] < 16),
+                       0, target)
+
+    wm, cw = get_weight_matrix_from_labels(target, C)
+    assert np.isfinite(np.asarray(wm)).all() and np.isfinite(np.asarray(cw)).all()
+    for fn in (focal_loss, dice_loss, false_positive_loss, rmi_loss):
+        val = np.asarray(jax.jit(fn)(logits, target))
+        assert np.isfinite(val), fn.__name__
+
+
+def test_loss_gradients_finite():
+    """-inf logits must not poison gradients."""
+    from labelanything_tpu.train.losses import dice_loss, focal_loss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, C, 16, 16)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, C, (1, 16, 16)).astype(np.int32))
+    target = target.at[:, :, 12:].set(IGNORE_INDEX)
+    mask = jnp.ones_like(x).at[:, 2].set(0)
+
+    for fn in (focal_loss, dice_loss):
+        def f(logits):
+            masked = jnp.where(mask > 0, logits, -jnp.inf)
+            return fn(masked, target)
+
+        g = np.asarray(jax.jit(jax.grad(f))(x))
+        assert np.isfinite(g).all(), fn.__name__
+
+
+def test_train_step_with_substitution_on_mesh():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+    model = tiny_model()
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}})
+
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=8, num_examples=2, num_classes=C,
+        image_size=IMAGE_SIZE, embed_dim=32,
+    ))
+
+    sub = Substitutor(num_points=1, substitute=True)
+    sub.reset(full)
+    first_input, first_gt = next(sub)
+
+    params_model = jax.jit(model.init)(jax.random.key(0), first_input)
+    dummy_result = {
+        ResultDict.LOGITS: jnp.zeros((8, C, IMAGE_SIZE, IMAGE_SIZE)),
+        ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros((8, 2, C, 32)),
+        BatchKeys.FLAG_EXAMPLES: first_input[BatchKeys.FLAG_EXAMPLES],
+    }
+    params_loss = loss.init(jax.random.key(1), dummy_result, first_gt)
+    params = {"model": params_model, "loss": params_loss}
+
+    tx = build_optimizer(params, name="AdamW", learning_rate=1e-3)
+    state = init_train_state(params, tx)
+    train_step = make_train_step(model, loss, tx, mesh=mesh, num_classes=C)
+
+    pe_before = np.asarray(params_model["params"]["prompt_encoder"]["pe_layer"][
+        "positional_encoding_gaussian_matrix"
+    ])
+    decoder_before = np.asarray(
+        params_model["params"]["mask_decoder"]["class_mlp"]["layers_0"]["kernel"]
+    )
+
+    # N+1 substitution passes for N=3 images: initial + each example as
+    # query + rotate back to the original query with accumulated error
+    # points (reference: run.py:506-509 loss_normalizer = gt.shape[1] + 1)
+    n_passes = 4
+    sub.reset(full)
+    losses = []
+    data_sh = NamedSharding(mesh, P("data"))
+    for i, (input_dict, gt) in enumerate(sub):
+        input_dict = shard_batch(input_dict, mesh)
+        gt = jax.device_put(gt, data_sh)
+        state, aux = train_step(
+            state, input_dict, gt, jax.random.key(i), 1.0 / n_passes,
+            apply_update=(i == n_passes - 1),
+        )
+        losses.append(float(aux["loss"]))
+        assert aux["confmat"].shape == (C, C)
+        fake_logits = jnp.zeros((8, C, IMAGE_SIZE, IMAGE_SIZE)).at[:, 0].set(1.0)
+        sub.generate_new_points(fake_logits, gt, jax.random.key(100 + i))
+    assert i == n_passes - 1
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 1
+
+    after = np.asarray(
+        state.params["model"]["params"]["mask_decoder"]["class_mlp"]["layers_0"]["kernel"]
+    )
+    assert not np.allclose(after, decoder_before)
+    pe_after = np.asarray(state.params["model"]["params"]["prompt_encoder"][
+        "pe_layer"]["positional_encoding_gaussian_matrix"])
+    np.testing.assert_array_equal(pe_before, pe_after)
+
+
+def test_eval_step():
+    mesh = create_mesh()
+    model = tiny_model()
+    batch = jax.tree.map(jnp.asarray, random_batch(
+        batch_size=8, num_examples=1, num_classes=C, image_size=IMAGE_SIZE,
+        embed_dim=32,
+    ))
+    params = {"model": jax.jit(model.init)(jax.random.key(0), batch)}
+    eval_step = make_eval_step(model, num_classes=C, mesh=mesh)
+    gt = batch[BatchKeys.GROUND_TRUTHS]
+    out = eval_step(params, shard_batch(batch, mesh),
+                    jax.device_put(gt, NamedSharding(mesh, P("data"))))
+    assert out["confmat"].shape == (C, C)
+    total = int(np.asarray(out["confmat"]).sum())
+    valid = int((np.asarray(gt) != IGNORE_INDEX).sum())
+    assert total == valid
+
+
+def test_substitutor_rotation_roundtrip():
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=2, num_examples=2, num_classes=C,
+        image_size=IMAGE_SIZE, embed_dim=32,
+    ))
+    sub = Substitutor(num_points=0, substitute=True)
+    sub.reset(full)
+    passes = list(sub)
+    assert len(passes) == 4  # N+1 for N=3 (original query returns at the end)
+    np.testing.assert_array_equal(
+        np.asarray(passes[0][1]), np.asarray(full[BatchKeys.GROUND_TRUTHS][:, 0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(passes[-1][1]), np.asarray(full[BatchKeys.GROUND_TRUTHS][:, 0])
+    )
+    # each image served as query at least once
+    gts = [np.asarray(g) for _, g in passes]
+    origs = np.asarray(full[BatchKeys.GROUND_TRUTHS])
+    matched = set()
+    for g in gts:
+        for n in range(3):
+            if (g == origs[:, n]).all():
+                matched.add(n)
+    assert matched == {0, 1, 2}
+
+
+def test_metrics_math():
+    from labelanything_tpu.train.metrics import (
+        binary_confusion_matrix, confusion_matrix, fb_iou,
+        mean_iou, strict_mean_iou,
+    )
+
+    preds = jnp.asarray([[[0, 1], [2, 1]]])
+    target = jnp.asarray([[[0, 1], [2, 2]]])
+    cm = confusion_matrix(preds, target, 3)
+    np.testing.assert_array_equal(
+        np.asarray(cm), [[1, 0, 0], [0, 1, 0], [0, 1, 1]]
+    )
+    assert np.isclose(float(mean_iou(cm)), 2 / 3)
+    assert np.isclose(float(strict_mean_iou(cm)), 0.5)
+    # binary view: pred fg == target fg everywhere (class confusion within
+    # fg does not matter for FB-IoU) -> IoU 1.0
+    cm2 = binary_confusion_matrix(preds, target)
+    assert np.isclose(float(fb_iou(cm2)), 1.0)
+    preds2 = jnp.asarray([[[0, 0], [2, 1]]])
+    cm3 = binary_confusion_matrix(preds2, target)
+    assert np.isclose(float(fb_iou(cm3)), 2 / 3)

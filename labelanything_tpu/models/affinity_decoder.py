@@ -52,8 +52,8 @@ class AffinityDecoder(nn.Module):
         ds = self.classification_layer_downsample_rate
         depths = (td // (ds // 4), td // (ds // 2), td // ds)
         self.up_convs = [
-            nn.ConvTranspose(d, (2, 2), strides=(2, 2), dtype=self.dtype,
-                             name=f"up_conv{i}")
+            nn.ConvTranspose(d, (2, 2), strides=(2, 2), transpose_kernel=True,
+                             dtype=self.dtype, name=f"up_conv{i}")
             for i, d in enumerate(depths)
         ]
         self.up_lns = [

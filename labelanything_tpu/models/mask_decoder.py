@@ -67,12 +67,16 @@ class MaskDecoderLam(nn.Module):
         self._has_upscaling = self.conv_upsample_stride > 1 or ds > 1
         if self._has_upscaling:
             s = self.conv_upsample_stride
+            # transpose_kernel=True matches torch ConvTranspose2d semantics
+            # (kernel layout (kh, kw, O, I)) for bit-compatible weight import
             self.up_conv1 = nn.ConvTranspose(
-                td // first_ds, (s, s), strides=(s, s), dtype=self.dtype
+                td // first_ds, (s, s), strides=(s, s), transpose_kernel=True,
+                dtype=self.dtype,
             )
             self.up_ln = LayerNorm2d(td // first_ds, dtype=self.dtype)
             self.up_conv2 = nn.ConvTranspose(
-                td // ds, (s, s), strides=(s, s), dtype=self.dtype
+                td // ds, (s, s), strides=(s, s), transpose_kernel=True,
+                dtype=self.dtype,
             )
             self.class_mlp = MLP(
                 hidden_dim=td,
@@ -100,7 +104,8 @@ class MaskDecoderLam(nn.Module):
         if self.conv_classification:
             self.prototype_tconv = [
                 nn.ConvTranspose(td // ds, (3, 3), strides=(1, 1), use_bias=False,
-                                 dtype=self.dtype, name=f"prototype_tconv_{i}")
+                                 transpose_kernel=True, dtype=self.dtype,
+                                 name=f"prototype_tconv_{i}")
                 for i in range(2)
             ]
 

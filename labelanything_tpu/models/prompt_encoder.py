@@ -336,6 +336,13 @@ class PromptImageEncoder(nn.Module):
 
         Returns (B, M, C, 2N, D) — two corner tokens per box; padding boxes
         collapse to ``not_a_point_embed`` (reference: prompt_encoder.py:646-668).
+
+        Faithfulness note: the reference builds the corner-token padding mask
+        with ``padding.repeat(1, 1, 1, 2)`` — a TILED pattern [f0..fN,f0..fN]
+        applied to box-major token order [b0c0,b0c1,b1c0,...], so for N>1 a
+        corner token is masked by the *wrong* box's flag
+        (reference: prompt_encoder.py:659-663). Reproduced bit-for-bit here,
+        since released checkpoints were trained with this masking.
         """
         b, m, c, n, _ = boxes.shape
         corners = (boxes + 0.5).reshape(b, m, c, n, 2, 2)
@@ -344,9 +351,10 @@ class PromptImageEncoder(nn.Module):
             [self.point_embeddings[2], self.point_embeddings[3]], axis=0
         )  # (2, D)
         pe = pe + corner_emb[None, None, None, None]
-        flags2 = jnp.repeat(flags[..., None], 2, axis=-1)[..., None]  # (B,M,C,N,2,1)
-        pe = jnp.where(flags2 == Label.NULL, self.not_a_point_embed[0], pe)
-        return pe.reshape(b, m, c, 2 * n, self.embed_dim)
+        pe = pe.reshape(b, m, c, 2 * n, self.embed_dim)
+        flags_tiled = jnp.concatenate([flags, flags], axis=-1)[..., None]
+        pe = jnp.where(flags_tiled == Label.NULL, self.not_a_point_embed[0], pe)
+        return pe
 
     def _embed_masks(self, masks: jax.Array, mask_flags: jax.Array) -> jax.Array:
         """masks: (B, M, C, Hm, Wm); flags: (B, M, C).

@@ -1,0 +1,236 @@
+"""Bit-compatible import of reference PyTorch checkpoints into flax pytrees.
+
+Maps the reference LabelAnything state-dict names (reference:
+label_anything/models/*) onto this framework's parameter tree and transposes
+tensors between torch and flax layout conventions:
+
+  * Linear:            (O, I)        -> kernel (I, O)
+  * Conv2d:            (O, I, kh, kw)-> kernel (kh, kw, I, O)
+  * ConvTranspose2d:   (I, O, kh, kw)-> kernel (kh, kw, O, I)
+                       (our ConvTranspose modules use transpose_kernel=True)
+  * LayerNorm:         weight -> scale
+  * LayerNorm2d:       weight -> weight (custom module, same layout)
+  * nn.Embedding rows and buffers: copied as-is
+
+Works on NumPy arrays so no torch import is required when reading
+``.safetensors`` checkpoints; ``.pth``/``.bin`` loading uses torch-cpu.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+# modules whose `weight` is a LayerNorm2d weight (kept as 'weight', no rename)
+_LN2D_NAMES = {
+    "ln1", "ln2", "mask_down_ln1", "mask_down_ln2", "up_ln",
+    "neck_ln1", "neck_ln2", "up_ln0", "up_ln1", "up_ln2",
+}
+_LN2D_PREFIXES = ("spatial_ln_",)
+
+# direct-copy parameter leaves (embeddings rows / buffers / tables)
+_DIRECT_LEAVES = {
+    "not_a_point_embed", "no_mask_embed", "not_a_mask_embed",
+    "no_sparse_embedding", "pos_embedding", "positional_encoding_gaussian_matrix",
+    "rel_pos_h", "rel_pos_w", "pos_embed", "cls_token", "embeddings",
+}
+
+_RENAMES: List[Tuple[str, str]] = [
+    # neck (reference: build_lam.py:150-171)
+    (r"^neck\.0\.", "neck.conv1."),
+    (r"^neck\.1\.", "neck.ln1."),
+    (r"^neck\.2\.", "neck.conv2."),
+    (r"^neck\.3\.", "neck.ln2."),
+    # prompt encoder mask downscaling (reference: prompt_encoder.py:61-69)
+    (r"(^|\.)mask_downscaling\.0\.", r"\1mask_down_conv1."),
+    (r"(^|\.)mask_downscaling\.1\.", r"\1mask_down_ln1."),
+    (r"(^|\.)mask_downscaling\.3\.", r"\1mask_down_conv2."),
+    (r"(^|\.)mask_downscaling\.4\.", r"\1mask_down_ln2."),
+    (r"(^|\.)mask_downscaling\.6\.", r"\1mask_down_conv3."),
+    # prompt-encoder merge blocks (attribute renames in this framework)
+    (r"(^|\.)class_attention\.", r"\1class_attention_block."),
+    (r"(^|\.)example_attention\.", r"\1example_attention_block."),
+    (r"(^|\.)class_example_attention\.", r"\1class_example_attention_block."),
+    # mask decoder upscaling (reference: mask_decoder.py:206-221)
+    (r"(^|\.)output_upscaling\.0\.", r"\1up_conv1."),
+    (r"(^|\.)output_upscaling\.1\.", r"\1up_ln."),
+    (r"(^|\.)output_upscaling\.3\.", r"\1up_conv2."),
+    # spatial convs: conv at 3i, LN at 3i+1 (reference: mask_decoder.py:236-253)
+    (r"(^|\.)spatial_convs\.0\.", r"\1spatial_conv_0."),
+    (r"(^|\.)spatial_convs\.1\.", r"\1spatial_ln_0."),
+    (r"(^|\.)spatial_convs\.3\.", r"\1spatial_conv_1."),
+    (r"(^|\.)spatial_convs\.4\.", r"\1spatial_ln_1."),
+    (r"(^|\.)spatial_convs\.6\.", r"\1spatial_conv_2."),
+    (r"(^|\.)spatial_convs\.7\.", r"\1spatial_ln_2."),
+    (r"(^|\.)prototype_tconv\.(\d+)\.", r"\1prototype_tconv_\2."),
+    # SAM ViT (reference: image_encoder.py)
+    (r"(^|\.)patch_embed\.proj\.", r"\1patch_embed."),
+    (r"\.neck\.0\.", ".neck_conv1."),
+    (r"\.neck\.1\.", ".neck_ln1."),
+    (r"\.neck\.2\.", ".neck_conv2."),
+    (r"\.neck\.3\.", ".neck_ln2."),
+    # indexed module lists -> flax name pattern
+    (r"(^|\.)layers\.(\d+)\.", r"\1layers_\2."),
+    (r"(^|\.)blocks\.(\d+)\.", r"\1blocks_\2."),
+]
+
+
+def _apply_renames(key: str, renames: List[Tuple[str, str]]) -> str:
+    for pat, rep in renames:
+        key = re.sub(pat, rep, key)
+    return key
+
+
+def _rename(key: str) -> str:
+    return _apply_renames(key, _RENAMES)
+
+
+def _is_ln2d(parts: List[str]) -> bool:
+    mod = parts[-2] if len(parts) >= 2 else ""
+    return mod in _LN2D_NAMES or any(mod.startswith(p) for p in _LN2D_PREFIXES)
+
+
+def _is_conv_transpose(parts: List[str]) -> bool:
+    mod = parts[-2] if len(parts) >= 2 else ""
+    return mod.startswith(("up_conv", "prototype_tconv"))
+
+
+_ENCODER_RENAMES: List[Tuple[str, str]] = [
+    # standalone ImageEncoderViT state dict (no "image_encoder." prefix)
+    (r"^neck\.0\.", "neck_conv1."),
+    (r"^neck\.1\.", "neck_ln1."),
+    (r"^neck\.2\.", "neck_conv2."),
+    (r"^neck\.3\.", "neck_ln2."),
+]
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray],
+                       kind: str = "lam") -> Dict[str, Any]:
+    """Convert a reference torch state dict (numpy values) to a flax
+    ``{'params': ...}`` tree fragment keyed by this framework's module names.
+
+    ``kind``: "lam" for full-model state dicts, "sam_encoder" for a
+    standalone ImageEncoderViT state dict (different top-level neck naming).
+    """
+    if kind == "sam_encoder":
+        state_dict = {
+            _apply_renames(k, _ENCODER_RENAMES): v for k, v in state_dict.items()
+        }
+    tree: Dict[str, Any] = {}
+    point_embeddings: Dict[str, List] = {}
+
+    def insert(parts: List[str], value: np.ndarray):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        value = np.asarray(value)
+        key = _rename(key)
+        parts = key.split(".")
+
+        # stacked point embeddings: point_embeddings.{i}.weight -> (4, D)
+        m = re.search(r"point_embeddings\.(\d)\.weight$", key)
+        if m:
+            prefix = key[: key.index("point_embeddings")]
+            point_embeddings.setdefault(prefix, [None] * 4)[int(m.group(1))] = value[0]
+            continue
+
+        if parts[-1] == "weight" and len(parts) >= 2 and parts[-2] in _DIRECT_LEAVES:
+            # nn.Embedding row: "not_a_point_embed.weight" -> leaf param
+            insert(parts[:-1], value)
+            continue
+        if parts[-1] in _DIRECT_LEAVES:
+            insert(parts, value)
+            continue
+
+        if parts[-1] == "weight":
+            if value.ndim == 4:
+                # conv & convT share the same axes permutation given our
+                # transpose_kernel=True convention
+                insert(parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2:
+                insert(parts[:-1] + ["kernel"], value.T)
+            elif _is_ln2d(parts):
+                insert(parts[:-1] + ["weight"], value)
+            else:  # LayerNorm scale
+                insert(parts[:-1] + ["scale"], value)
+        elif parts[-1] == "bias":
+            insert(parts, value)
+        else:
+            insert(parts, value)
+
+    for prefix, rows in point_embeddings.items():
+        assert all(r is not None for r in rows), "missing point embedding rows"
+        parts = [p for p in prefix.split(".") if p] + ["point_embeddings"]
+        insert(parts, np.stack(rows))
+
+    return tree
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def merge_into_params(params: Dict[str, Any], converted: Dict[str, Any],
+                      strict: bool = True) -> Dict[str, Any]:
+    """Place converted leaves into an initialized flax params tree
+    (``{'params': {...}}``), verifying full coverage and shape agreement."""
+    import jax
+
+    target = _flatten(params["params"])
+    source = _flatten(converted)
+    missing = set(target) - set(source)
+    unexpected = set(source) - set(target)
+    fmt = lambda s: sorted("/".join(p) for p in s)[:12]
+    # Unexpected source keys are normal: flax materializes parameters only
+    # for modules the traced config actually calls, while torch state dicts
+    # always carry every registered module. Missing targets are an error.
+    if missing and (strict or True):
+        raise ValueError(f"state dict missing parameters: {fmt(missing)}")
+    if strict and unexpected:
+        import warnings
+
+        warnings.warn(f"unused checkpoint tensors: {fmt(unexpected)}")
+    new = dict(target)
+    for k, v in source.items():
+        if k not in target:
+            continue
+        if tuple(target[k].shape) != tuple(v.shape):
+            raise ValueError(f"shape mismatch at {'/'.join(k)}: "
+                             f"{target[k].shape} vs {v.shape}")
+        new[k] = np.asarray(v, dtype=np.asarray(target[k]).dtype)
+
+    def unflatten(flat):
+        tree: Dict[str, Any] = {}
+        for path, v in flat.items():
+            node = tree
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = v
+        return tree
+
+    return {"params": unflatten(new)}
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.bin/.safetensors checkpoint into numpy arrays."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}

@@ -1,0 +1,136 @@
+"""Command-line interface (reference: label_anything/cli.py:12-371).
+
+Verbs: experiment, run, validate, test, generate_embeddings, generate_gt,
+benchmark, rename_coco20i_json, app.
+"""
+
+from __future__ import annotations
+
+import click
+
+
+@click.group()
+def main():
+    """labelanything-tpu: TPU-native multi-class few-shot segmentation."""
+
+
+@main.command("experiment")
+@click.option("--parameters", required=True, type=click.Path(exists=True))
+@click.option("--out-dir", default="runs")
+def experiment_cmd(parameters, out_dir):
+    """Run a grid of training runs from a YAML parameter file."""
+    from .experiment import experiment
+
+    experiment(parameters, out_dir=out_dir)
+
+
+@main.command("run")
+@click.option("--parameters", required=True, type=click.Path(exists=True))
+@click.option("--out-dir", default="runs/single")
+def run_cmd(parameters, out_dir):
+    """Run a single training run (first grid point of the YAML)."""
+    from .experiment import run_single
+
+    run_single(parameters, out_dir=out_dir)
+
+
+@main.command("validate")
+@click.option("--parameters", required=True, type=click.Path(exists=True))
+@click.option("--out-dir", default="runs/validate")
+def validate_cmd(parameters, out_dir):
+    """Validate a checkpointed run on its validation datasets."""
+    from .experiment import Run
+    from .utils.config import expand_experiment, load_yaml
+
+    config = load_yaml(parameters)
+    flat = expand_experiment(config)[0]
+    run = Run().init(flat, run_dir=out_dir)
+    # lazy-init params from the first val batch, then restore + validate
+    loader = next(iter(run.val_loaders.values()))
+    (batch, gts), _ = next(iter(loader))
+    device_batch, _ = run._device_batch(batch)
+    from .train.substitutor import Substitutor
+
+    sub = Substitutor(substitute=False)
+    sub.reset(device_batch)
+    input_dict, gt = next(sub)
+    run._lazy_init(input_dict, gt)
+    metrics = run.validate(epoch=0)
+    click.echo(metrics)
+
+
+@main.command("test")
+@click.option("--parameters", required=True, type=click.Path(exists=True))
+@click.option("--out-dir", default="runs/test")
+def test_cmd(parameters, out_dir):
+    """Cross-domain test protocol (support prompts -> cached class embeddings
+    -> per-image predict)."""
+    from .experiment import Run
+    from .utils.config import expand_experiment, load_yaml
+
+    config = load_yaml(parameters)
+    flat = expand_experiment(config)[0]
+    run = Run().init(flat, run_dir=out_dir)
+    click.echo(run.test())
+
+
+@main.command("generate_embeddings")
+@click.option("--encoder", default="vit_b", help="encoder registry name")
+@click.option("--checkpoint", default=None, type=click.Path())
+@click.option("--use_sam_checkpoint", is_flag=True)
+@click.option("--directory", required=True, type=click.Path(exists=True))
+@click.option("--instances_path", default=None, type=click.Path())
+@click.option("--batch_size", default=8)
+@click.option("--num_workers", default=16)
+@click.option("--outfolder", default="data/processed/embeddings")
+@click.option("--last_block_dir", default=None)
+@click.option("--image_size", default=1024)
+@click.option("--custom_preprocess/--square_resize", default=True)
+@click.option("--limit", default=None, type=int)
+def generate_embeddings_cmd(**kwargs):
+    """Extract image-encoder embeddings to safetensors caches."""
+    from .preprocess import preprocess_images_to_embeddings
+
+    preprocess_images_to_embeddings(encoder_name=kwargs.pop("encoder"), **kwargs)
+
+
+@main.command("generate_gt")
+@click.option("--dataset_name", required=True)
+@click.option("--anns_path", required=True, type=click.Path(exists=True))
+@click.option("--outfolder", required=True, type=click.Path(exists=True))
+def generate_gt_cmd(dataset_name, anns_path, outfolder):
+    from .preprocess import generate_ground_truths
+
+    generate_ground_truths(dataset_name, anns_path, outfolder)
+
+
+@main.command("rename_coco20i_json")
+@click.option("--instances_path", required=True, type=click.Path(exists=True))
+def rename_coco20i_json_cmd(instances_path):
+    from .preprocess import rename_coco20i_json
+
+    rename_coco20i_json(instances_path)
+
+
+@main.command("benchmark")
+@click.option("--mode", default="decode", type=click.Choice(["decode", "vit"]))
+def benchmark_cmd(mode):
+    """Model throughput benchmark (episodes/sec or images/sec)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    print(_json.dumps({"note": "see bench.py"}))
+    subprocess.run([sys.executable, "bench.py", "--mode", mode], check=True)
+
+
+@main.command("app")
+def app_cmd():
+    """Launch the interactive demo app."""
+    from .demo.app import launch
+
+    launch()
+
+
+if __name__ == "__main__":
+    main()

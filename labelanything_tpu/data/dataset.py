@@ -28,14 +28,39 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-DATASET_REGISTRY = {
-    "coco": CocoLVISDataset,
-    "lvis": CocoLVISDataset,
-}
+def _registry():
+    from .coco20i import Coco20iDataset
+
+    return {
+        "coco": CocoLVISDataset,
+        "val_coco": CocoLVISDataset,
+        "lvis": CocoLVISDataset,
+        "val_lvis": CocoLVISDataset,
+        "coco20i": Coco20iDataset,
+        "val_coco20i": Coco20iDataset,
+        **_EXTRA_DATASETS,
+    }
+
+
+_EXTRA_DATASETS: Dict[str, type] = {}
 
 
 def register_dataset(name: str, cls) -> None:
-    DATASET_REGISTRY[name] = cls
+    _EXTRA_DATASETS[name] = cls
+
+
+def resolve_dataset(name: str):
+    """Name resolution as in the reference dataloader factory
+    (data/__init__.py:115-121): 'val_coco20i_N1K1' -> 'val_coco20i'."""
+    registry = _registry()
+    if name in registry:
+        return registry[name]
+    parts = name.split("_")
+    for i in range(len(parts), 0, -1):
+        candidate = "_".join(parts[:i])
+        if candidate in registry:
+            return registry[candidate]
+    raise KeyError(f"Unknown dataset {name!r}; known: {sorted(registry)}")
 
 
 class LabelAnythingDataset:
@@ -44,8 +69,7 @@ class LabelAnythingDataset:
     def __init__(self, datasets_params: Dict[str, dict], common_params: dict,
                  annotation_bucket: int = 8):
         self.datasets = {
-            name: DATASET_REGISTRY[name.split("_")[0]](
-                **{**common_params, **params})
+            name: resolve_dataset(name)(**{**common_params, **params})
             for name, params in datasets_params.items()
         }
         self.categories = {

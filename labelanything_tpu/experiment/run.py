@@ -1,0 +1,386 @@
+"""Training / validation runtime (reference: label_anything/experiment/run.py).
+
+One ``Run`` executes one grid configuration: datasets, model, loss,
+optimizer, substitution training loop, periodic validation, checkpointing.
+The device-side work is two jit-compiled functions (train step, eval step)
+over a (data, model) mesh; everything else is host orchestration.
+
+Metric fidelity: episode class indices are mapped to global category ids on
+the host (reference: data/utils.py:568-589 ``to_global_multiclass``) and
+accumulated into one global confusion matrix per epoch, matching the
+torchmetrics protocol of the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.dataset import LabelAnythingDataset, VariableBatchSampler
+from ..data.loader import EpisodeLoader
+from ..parallel.mesh import create_mesh, shard_batch
+from ..parallel.train_step import TrainState, init_train_state, make_eval_step, make_train_step
+from ..models.registry import model_registry
+from ..train.checkpoint import CheckpointManager
+from ..train.losses import LabelAnythingLoss
+from ..train.metrics import fb_iou, mean_iou, strict_mean_iou
+from ..train.optim import build_optimizer
+from ..train.substitutor import Substitutor
+from ..typing import BatchKeys, IGNORE_INDEX, LossDict, ResultDict
+from ..utils.logging import ExperimentLogger, get_logger
+
+logger = get_logger(__name__)
+
+_HOST_KEYS = (BatchKeys.CLASSES, BatchKeys.IMAGE_IDS, BatchKeys.INTENDED_CLASSES)
+
+
+def to_global_lut(classes: List[List[List[int]]], categories: Dict[int, dict],
+                  num_episode_classes: int) -> np.ndarray:
+    """Per-sample LUT episode-class-idx -> global class idx
+    (reference: data/utils.py:568-589). Returns (B, C_episode) int."""
+    cat_ids = sorted(categories.keys())
+    global_index = {cid: i + 1 for i, cid in enumerate(cat_ids)}
+    b = len(classes)
+    lut = np.zeros((b, num_episode_classes), np.int64)
+    for i, sample_classes in enumerate(classes):
+        episode_cats = sorted(set(
+            c for img_classes in sample_classes for c in img_classes))
+        for j, cid in enumerate(episode_cats, start=1):
+            if j < num_episode_classes:
+                lut[i, j] = global_index.get(cid, 0)
+    return lut
+
+
+def global_confusion(preds: np.ndarray, gts: np.ndarray, lut: np.ndarray,
+                     num_global: int) -> np.ndarray:
+    """Map episode ids through the LUT and accumulate a global confmat."""
+    b = preds.shape[0]
+    cm = np.zeros((num_global, num_global), np.int64)
+    for i in range(b):
+        valid = gts[i] != IGNORE_INDEX
+        p = lut[i][np.clip(preds[i][valid], 0, lut.shape[1] - 1)]
+        t = lut[i][np.clip(gts[i][valid], 0, lut.shape[1] - 1)]
+        idx = t * num_global + p
+        cm += np.bincount(idx, minlength=num_global * num_global).reshape(
+            num_global, num_global)
+    return cm
+
+
+def binary_confusion_np(preds: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    valid = gts != IGNORE_INDEX
+    p = (preds[valid] > 0).astype(np.int64)
+    t = (gts[valid] > 0).astype(np.int64)
+    return np.bincount(t * 2 + p, minlength=4).reshape(2, 2)
+
+
+class Run:
+    """(reference: experiment/run.py:68-849)."""
+
+    def __init__(self):
+        self.params: Dict[str, Any] = {}
+        self.state: Optional[TrainState] = None
+        self.global_train_step = 0
+
+    # ------------------------------------------------------------------ #
+
+    def init(self, params: Dict[str, Any], run_dir: str = "runs/run0"):
+        self.params = dict(params)
+        self.seed = params.get("seed", 42)
+        self.train_params = params.get("train_params", {})
+        self.model_params = dict(params.get("model", {}))
+        self.dataset_params = params.get("dataset", {})
+        self.dataloader_params = dict(params.get("dataloader", {}))
+        logger_params = params.get("logger", {})
+
+        self.mesh = create_mesh()
+        self.data_sharding = NamedSharding(self.mesh, P("data"))
+        self.num_processes = int(self.mesh.devices.size)
+        self.tracker = ExperimentLogger(run_dir, name=params.get("name", "run"))
+        self.checkpoints = CheckpointManager(
+            f"{run_dir}/checkpoints",
+            watch_metric=self.train_params.get("watch_metric", "miou"),
+        )
+        self.log_frequency = logger_params.get("log_frequency", 10)
+
+        # data
+        self._build_dataloaders()
+
+        # model + loss (parameters initialized lazily on the first batch)
+        model_name = self.model_params.pop("name")
+        self.model = model_registry[model_name](**self.model_params)
+        loss_params = dict(self.train_params.get("loss", {}))
+        self.loss = LabelAnythingLoss(
+            components=loss_params.get("components", {"focal": {"weight": 1.0}}),
+            class_weighting=loss_params.get("class_weighting", False),
+        )
+        self.tx = None
+        self.train_step = None
+        self.eval_step = None
+        self.image_size = self.model_params.get("image_size", 1024)
+        return self
+
+    def _build_dataloaders(self):
+        datasets_params = dict(self.dataset_params.get("datasets", {}))
+        common = dict(self.dataset_params.get("common", {}))
+        dl = self.dataloader_params
+        num_workers = dl.get("num_workers", 8)
+
+        val_params = {k: v for k, v in datasets_params.items()
+                      if k.startswith("val_")}
+        test_params = {k: v for k, v in datasets_params.items()
+                       if k.startswith("test_")}
+        train_params = {k: v for k, v in datasets_params.items()
+                        if k not in val_params and k not in test_params}
+
+        self.train_loader = None
+        if train_params:
+            dataset = LabelAnythingDataset(train_params, common)
+            sampler = VariableBatchSampler(
+                dataset,
+                possible_batch_example_nums=dl["possible_batch_example_nums"],
+                prompt_types=dl.get("prompt_types"),
+                prompt_choice_level=_first(dl.get("prompt_choice_level", "batch")),
+                shuffle=True,
+                num_steps=dl.get("num_steps"),
+                num_processes=self.num_processes,
+                seed=self.seed,
+            )
+            self.train_loader = EpisodeLoader(dataset, sampler, num_workers,
+                                              group_size=self.num_processes)
+            self.train_dataset = dataset
+
+        self.val_loaders = {}
+        for name, p in val_params.items():
+            dataset = LabelAnythingDataset({name: p}, common)
+            sampler = VariableBatchSampler(
+                dataset,
+                possible_batch_example_nums=dl.get(
+                    "val_possible_batch_example_nums",
+                    dl["possible_batch_example_nums"]),
+                prompt_types=dl.get("val_prompt_types", dl.get("prompt_types")),
+                num_processes=self.num_processes,
+                seed=self.seed,
+            )
+            self.val_loaders[name] = EpisodeLoader(
+                dataset, sampler, num_workers, group_size=self.num_processes)
+        self.test_params = test_params
+        self.common_params = common
+
+    # ------------------------------------------------------------------ #
+
+    def _device_batch(self, batch):
+        device = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in _HOST_KEYS and v is not None}
+        host = {k: batch.get(k) for k in _HOST_KEYS}
+        return shard_batch(device, self.mesh), host
+
+    def _lazy_init(self, input_dict, gt):
+        params_model = jax.jit(self.model.init)(
+            jax.random.key(self.seed), input_dict)
+        b, m, c = input_dict[BatchKeys.FLAG_EXAMPLES].shape
+        embed_dim = self.model_params.get("embed_dim", 256)
+        dummy_result = {
+            ResultDict.LOGITS: jnp.zeros((b, c) + gt.shape[-2:]),
+            ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros((b, m, c, embed_dim)),
+            BatchKeys.FLAG_EXAMPLES: input_dict[BatchKeys.FLAG_EXAMPLES],
+        }
+        params_loss = self.loss.init(jax.random.key(self.seed + 1),
+                                     dummy_result, gt)
+        params = {"model": params_model, "loss": params_loss}
+
+        tp = self.train_params
+        self.tx = build_optimizer(
+            params,
+            name=tp.get("optimizer", "AdamW"),
+            learning_rate=tp.get("initial_lr", 5e-5),
+            weight_decay=tp.get("weight_decay", 0.0),
+            backbone_lr=tp.get("backbone_lr"),
+            freeze_backbone=tp.get("freeze_backbone", False),
+            scheduler=_norm_scheduler(tp.get("scheduler")),
+        )
+        self.state = init_train_state(params, self.tx)
+        self.train_step = make_train_step(self.model, self.loss, self.tx,
+                                          mesh=self.mesh)
+        # resume if a checkpoint exists
+        restored, meta = self.checkpoints.restore(self.state, "latest")
+        if restored is not None:
+            self.state = jax.device_put(
+                restored, NamedSharding(self.mesh, P()))
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            logger.info("resumed from epoch %d", self.start_epoch)
+        else:
+            self.start_epoch = 0
+
+    # ------------------------------------------------------------------ #
+
+    def launch(self):
+        max_epochs = self.train_params.get("max_epochs", 1)
+        best = None
+        for epoch in range(getattr(self, "start_epoch", 0), max_epochs):
+            self.train_epoch(epoch)
+            metrics = self.validate(epoch)
+            watch = self.train_params.get("watch_metric", "miou")
+            value = metrics.get(watch, metrics.get("miou", 0.0))
+            self.checkpoints.save_latest(self.state, epoch)
+            if self.checkpoints.maybe_save_best(self.state, epoch, value):
+                best = value
+                logger.info("new best %s=%.4f @ epoch %d", watch, value, epoch)
+        return best
+
+    def train_epoch(self, epoch: int):
+        assert self.train_loader is not None, "no train datasets configured"
+        tp = self.train_params
+        accumulate = tp.get("accumulate_substitution", False)
+        substitute = tp.get("substitute", True)
+        num_points = tp.get("num_points", 1)
+        check_nan = tp.get("check_nan", 0)
+
+        categories = next(iter(self.train_dataset.datasets.values())).categories
+        num_global = len(categories) + 1
+        cm = np.zeros((num_global, num_global), np.int64)
+        cm2 = np.zeros((2, 2), np.int64)
+        loss_sum, loss_count = 0.0, 0
+        epoch_rng = np.random.default_rng(self.seed + epoch)
+        t0 = time.time()
+
+        substitutor = Substitutor(num_points=num_points, substitute=substitute)
+        tot_steps = 0
+        for batch_idx, ((batch, gts), dataset_names) in enumerate(self.train_loader):
+            device_batch, host = self._device_batch(batch)
+            n_passes = gts.shape[1] + 1 if substitute else 1
+            loss_scale = 1.0 / n_passes if accumulate else 1.0
+            substitutor.reset(device_batch)
+            for i, (input_dict, gt) in enumerate(substitutor):
+                if self.state is None:
+                    self._lazy_init(input_dict, gt)
+                apply_update = (not accumulate) or i == n_passes - 1
+                rng = jax.random.key(int(epoch_rng.integers(2**31)))
+                self.state, aux = self.train_step(
+                    self.state, input_dict,
+                    jax.device_put(gt, self.data_sharding), rng, loss_scale,
+                    apply_update=apply_update,
+                )
+                loss_val = float(aux["loss"])
+                if check_nan and not np.isfinite(loss_val):
+                    raise FloatingPointError(
+                        f"NaN/inf loss at epoch {epoch} batch {batch_idx}")
+                loss_sum += loss_val
+                loss_count += 1
+
+                preds = np.asarray(aux["preds"])
+                gts_np = np.asarray(gt)
+                lut = to_global_lut(host[BatchKeys.CLASSES], categories,
+                                    int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
+                cm += global_confusion(preds, gts_np, lut, num_global)
+                cm2 += binary_confusion_np(preds, gts_np)
+
+                substitutor.generate_new_points(
+                    aux["preds"], gt,
+                    jax.random.key(int(epoch_rng.integers(2**31))),
+                    num_classes=int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]),
+                )
+                tot_steps += 1
+                self.global_train_step += 1
+                if tot_steps % self.log_frequency == 0:
+                    with self.tracker.phase("train"):
+                        self.tracker.log_metrics(
+                            {"loss": loss_val,
+                             "mIoU": float(strict_mean_iou(jnp.asarray(cm))),
+                             "FBIoU": float(fb_iou(jnp.asarray(cm2)))},
+                            step=self.global_train_step, epoch=epoch)
+
+        metrics = {
+            "loss": loss_sum / max(loss_count, 1),
+            "miou": float(strict_mean_iou(jnp.asarray(cm))),
+            "fbiou": float(fb_iou(jnp.asarray(cm2))),
+            "epoch_time": time.time() - t0,
+        }
+        with self.tracker.phase("train"):
+            self.tracker.log_metrics({f"avg_{k}": v for k, v in metrics.items()},
+                                     epoch=epoch)
+        logger.info("epoch %d train: %s", epoch,
+                    {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        if not self.val_loaders:
+            return {}
+        reruns = self.params.get("val_params", {}).get("reruns", 1)
+        results = {}
+        for name, loader in self.val_loaders.items():
+            per_run = []
+            for run_idx in range(reruns):
+                per_run.append(self._validate_one(loader, name))
+            agg = {k: float(np.mean([r[k] for r in per_run]))
+                   for k in per_run[0]}
+            results.update({f"{name}_{k}": v for k, v in agg.items()})
+            with self.tracker.phase(f"validate/{name}"):
+                self.tracker.log_metrics(agg, epoch=epoch)
+            logger.info("epoch %d val %s: %s", epoch, name,
+                        {k: round(v, 4) for k, v in agg.items()})
+        # aggregate watch metric over val sets
+        mious = [v for k, v in results.items() if k.endswith("_miou")]
+        if mious:
+            results["miou"] = float(np.mean(mious))
+        return results
+
+    def _validate_one(self, loader: EpisodeLoader, name: str) -> Dict[str, float]:
+        dataset = loader.dataset
+        categories = next(iter(dataset.datasets.values())).categories
+        num_global = len(categories) + 1
+        cm = np.zeros((num_global, num_global), np.int64)
+        cm2 = np.zeros((2, 2), np.int64)
+        substitutor = Substitutor(substitute=False)
+        for (batch, gts), _ in loader:
+            device_batch, host = self._device_batch(batch)
+            substitutor.reset(device_batch)
+            input_dict, gt = next(substitutor)
+            if self.state is None:
+                self._lazy_init(input_dict, gt)
+            out = self._eval_forward(input_dict)
+            preds = np.asarray(out)
+            gts_np = np.asarray(gt)
+            lut = to_global_lut(host[BatchKeys.CLASSES], categories,
+                                int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
+            cm += global_confusion(preds, gts_np, lut, num_global)
+            cm2 += binary_confusion_np(preds, gts_np)
+        return {
+            "miou": float(strict_mean_iou(jnp.asarray(cm))),
+            "fbiou": float(fb_iou(jnp.asarray(cm2))),
+        }
+
+    def _eval_forward(self, input_dict):
+        if not hasattr(self, "_eval_fn") or self._eval_fn is None:
+            params_sh = NamedSharding(self.mesh, P())
+
+            def fn(params, batch):
+                result = self.model.apply(params["model"], batch,
+                                          deterministic=True)
+                return jnp.argmax(result[ResultDict.LOGITS], axis=1)
+
+            self._eval_fn = jax.jit(
+                fn, in_shardings=(params_sh, self.data_sharding),
+            )
+        return self._eval_fn(self.state.params, input_dict)
+
+
+def _first(x):
+    if isinstance(x, (list, tuple)):
+        return x[0]
+    return x
+
+
+def _norm_scheduler(sched):
+    """Reference scheduler configs use 'type'; optax builder wants 'name'."""
+    if not sched:
+        return None
+    sched = dict(sched)
+    if "type" in sched:
+        sched["name"] = sched.pop("type")
+    sched.pop("step_moment", None)
+    return sched

@@ -1,0 +1,184 @@
+"""Offline feature-extraction pipeline (reference: label_anything/preprocess.py).
+
+``preprocess_images_to_embeddings`` streams images from disk through a
+jit-compiled encoder on the TPU and writes one safetensors file per image,
+``{"embedding": (C, H, W)}`` named ``<id>.zfill(12).safetensors`` — the same
+cache format the reference produces (preprocess.py:70-73), so caches are
+interchangeable between frameworks (this loader transposes CHW->HWC on read).
+
+Host IO (decode + preprocess, write-back) runs on thread pools double-buffered
+against the device step — the generate_embeddings throughput north star.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .data.transforms import PromptsProcessor, preprocess_image
+from .models.registry import model_registry
+from .utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _image_files(instances_path: Optional[str], directory: str):
+    if instances_path:
+        with open(instances_path) as f:
+            instances = json.load(f)
+        return [(img["id"], os.path.join(directory, img["file_name"]))
+                for img in instances["images"]]
+    files = sorted(pathlib.Path(directory).glob("*.jpg")) + sorted(
+        pathlib.Path(directory).glob("*.png"))
+    return [(p.stem.lstrip("0") or "0", str(p)) for p in files]
+
+
+def preprocess_images_to_embeddings(
+    encoder_name: str,
+    checkpoint: Optional[str] = None,
+    use_sam_checkpoint: bool = False,
+    directory: str = "data/images",
+    instances_path: Optional[str] = None,
+    batch_size: int = 8,
+    num_workers: int = 16,
+    outfolder: str = "data/processed/embeddings",
+    last_block_dir: Optional[str] = None,
+    image_size: int = 1024,
+    custom_preprocess: bool = True,
+    dtype=jnp.bfloat16,
+    limit: Optional[int] = None,
+):
+    """(reference: preprocess.py:78-141,143-175)."""
+    os.makedirs(outfolder, exist_ok=True)
+    if last_block_dir:
+        os.makedirs(last_block_dir, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    encoder = model_registry[encoder_name](
+        project_last_hidden=not last_block_dir or True, dtype=dtype,
+        image_size=image_size,
+    ) if encoder_name in ("vit_b", "vit_l", "vit_h") else model_registry[
+        encoder_name](dtype=dtype)
+
+    probe = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
+    params = jax.jit(encoder.init)(jax.random.key(0), probe)
+    if checkpoint:
+        from .utils.torch_import import (convert_state_dict, load_torch_file,
+                                         merge_into_params)
+
+        sd = load_torch_file(checkpoint)
+        if use_sam_checkpoint:
+            sd = {k[len("image_encoder."):]: v for k, v in sd.items()
+                  if k.startswith("image_encoder.")}
+        params = merge_into_params(
+            params, convert_state_dict(sd, kind="sam_encoder"))
+
+    want_last_block = last_block_dir is not None
+
+    @jax.jit
+    def encode(params, x):
+        if want_last_block:
+            out = encoder.apply(params, x, return_last_block_state=True)
+            return out["last_hidden_state"], out["last_block_state"]
+        return encoder.apply(params, x)
+
+    files = _image_files(instances_path, directory)
+    if limit:
+        files = files[:limit]
+    logger.info("encoding %d images", len(files))
+
+    def load_one(item):
+        image_id, path = item
+        arr, _ = preprocess_image(Image.open(path), image_size, custom_preprocess)
+        return image_id, arr
+
+    io_pool = ThreadPoolExecutor(num_workers)
+    write_pool = ThreadPoolExecutor(4)
+
+    def write_one(image_id, emb, last_block=None):
+        name = f"{str(image_id).zfill(12)}.safetensors"
+        save_file({"embedding": np.asarray(emb, np.float32).transpose(2, 0, 1)},
+                  os.path.join(outfolder, name))
+        if last_block is not None:
+            save_file({"embedding": np.asarray(last_block, np.float32)
+                      .transpose(2, 0, 1)},
+                      os.path.join(last_block_dir, name))
+
+    t0 = time.time()
+    done = 0
+    batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
+    loaded_iter = iter(io_pool.map(
+        lambda chunk: [load_one(it) for it in chunk], batches))
+    pending = []
+    for chunk in loaded_iter:
+        ids = [c[0] for c in chunk]
+        arrs = np.stack([c[1] for c in chunk])
+        pad = batch_size - len(ids)
+        if pad:
+            arrs = np.concatenate([arrs, np.zeros((pad,) + arrs.shape[1:],
+                                                  arrs.dtype)])
+        out = encode(params, jnp.asarray(arrs))
+        if want_last_block:
+            hidden, last_block = out
+        else:
+            hidden, last_block = out, None
+        hidden = np.asarray(hidden)
+        lb = np.asarray(last_block) if last_block is not None else None
+        for i, image_id in enumerate(ids):
+            pending.append(write_pool.submit(
+                write_one, image_id, hidden[i],
+                lb[i] if lb is not None else None))
+        done += len(ids)
+        if done % (batch_size * 10) < batch_size:
+            rate = done / (time.time() - t0)
+            logger.info("%d/%d images (%.1f img/s)", done, len(files), rate)
+    for f in pending:
+        f.result()
+    rate = done / (time.time() - t0)
+    logger.info("finished: %d images at %.2f images/sec", done, rate)
+    return rate
+
+
+def generate_ground_truths(dataset_name: str, anns_path: str, outfolder: str,
+                           custom_preprocess: bool = True):
+    """Inject per-image GT maps into existing safetensors caches
+    (reference: preprocess.py:28-50)."""
+    from safetensors.numpy import load_file, save_file
+
+    with open(anns_path) as f:
+        anns = json.load(f)
+    pp = PromptsProcessor(custom_preprocess=custom_preprocess)
+    by_image = {}
+    for ann in anns["annotations"]:
+        by_image.setdefault(ann["image_id"], []).append(ann)
+    for image in anns["images"]:
+        h, w = image["height"], image["width"]
+        gt = np.zeros((h, w), np.int64)
+        for ann in by_image.get(image["id"], []):
+            mask = pp.convert_mask(ann["segmentation"], h, w).astype(np.int64)
+            mask[mask == 1] = ann["category_id"]
+            gt = np.maximum(gt, mask)
+        path = os.path.join(outfolder,
+                            f"{str(image['id']).zfill(12)}.safetensors")
+        loaded = dict(load_file(path))
+        loaded[f"{dataset_name}_gt"] = gt
+        save_file(loaded, path)
+
+
+def rename_coco20i_json(instances_path: str):
+    """(reference: preprocess.py:325-336)."""
+    with open(instances_path) as f:
+        anns = json.load(f)
+    for image in anns["images"]:
+        image["file_name"] = image["file_name"].split("_")[-1]
+    with open(instances_path, "w") as f:
+        json.dump(anns, f)

@@ -84,11 +84,12 @@ def divide_query_examples(batch: Dict[str, jax.Array]):
     return out, gt
 
 
-@functools.partial(jax.jit, static_argnames=("num_points",))
+@functools.partial(jax.jit, static_argnames=("num_classes", "num_points"))
 def generate_points_from_errors(
-    logits: jax.Array,        # (B, C, H, W)
+    preds: jax.Array,         # (B, H, W) argmax predictions
     ground_truth: jax.Array,  # (B, H, W) with IGNORE_INDEX
     key: jax.Array,
+    num_classes: int,
     num_points: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample per-(b, c) correction points from prediction errors.
@@ -97,12 +98,12 @@ def generate_points_from_errors(
     +1 where the model missed the class (false negative), -1 where it
     hallucinated it (false positive), 0 when that class had no errors.
     """
-    b, c, h, w = logits.shape
+    b, h, w = preds.shape
+    c = num_classes
     valid = ground_truth != IGNORE_INDEX
     gt = jnp.where(valid, ground_truth, 0)
     gt_onehot = jax.nn.one_hot(gt, c, dtype=jnp.int32) * valid[..., None]
-    pred = jnp.argmax(logits, axis=1)
-    pred_onehot = jax.nn.one_hot(pred, c, dtype=jnp.int32) * valid[..., None]
+    pred_onehot = jax.nn.one_hot(preds, c, dtype=jnp.int32) * valid[..., None]
     errors = (gt_onehot - pred_onehot).transpose(0, 3, 1, 2)  # (B, C, H, W)
 
     err_flat = errors.reshape(b, c, h * w)
@@ -212,13 +213,15 @@ class Substitutor:
         self.it += 1
         return divide_query_examples(self.batch)
 
-    def generate_new_points(self, logits: jax.Array, gt: jax.Array, key: jax.Array):
+    def generate_new_points(self, preds: jax.Array, gt: jax.Array, key: jax.Array,
+                            num_classes: int):
+        """``preds`` are argmax predictions (B, H, W)."""
         if not self.substitute or self.num_points <= 0:
             return
         if BatchKeys.PROMPT_POINTS not in self.batch:
             return
         points, labels = generate_points_from_errors(
-            logits, gt, key, num_points=self.num_points
+            preds, gt, key, num_classes=num_classes, num_points=self.num_points
         )
         self.batch = write_query_points(self.batch, points, labels, self._slot)
         self._slot += self.num_points

@@ -1,0 +1,98 @@
+"""Experiment logging (reference: label_anything/logger/).
+
+``get_logger`` mirrors the colorlog console logger (text_logger.py:5-56)
+without the colorlog dependency. ``ExperimentLogger`` replaces WandBLogger:
+metric namespacing by phase contexts (wandb.py:949-981), JSONL metric sink in
+the run dir, and an optional wandb backend when the package is importable
+(it is not in this image; offline JSONL is the default sink).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import time
+from contextlib import contextmanager
+from typing import Any, Dict, Optional
+
+_FMT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
+
+
+def get_logger(name: str = "labelanything_tpu") -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(_FMT, datefmt="%H:%M:%S"))
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+        logger.propagate = False
+    return logger
+
+
+class ExperimentLogger:
+    """Phase-namespaced metric logger with a JSONL sink."""
+
+    def __init__(self, run_dir: str, name: str = "run", use_wandb: bool = False,
+                 wandb_kwargs: Optional[dict] = None):
+        self.run_dir = pathlib.Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.name = name
+        self._prefix = ""
+        self._sink = open(self.run_dir / "metrics.jsonl", "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(dir=str(self.run_dir),
+                                         name=name, **(wandb_kwargs or {}))
+            except Exception:
+                get_logger().warning("wandb unavailable; using JSONL sink only")
+
+    @contextmanager
+    def phase(self, name: str):
+        """Namespace metrics like the reference's train/validate/test
+        contexts (wandb.py:949-981)."""
+        old = self._prefix
+        self._prefix = f"{name}/"
+        try:
+            yield self
+        finally:
+            self._prefix = old
+
+    def log_metric(self, key: str, value, step: Optional[int] = None):
+        self.log_metrics({key: value}, step=step)
+
+    def log_metrics(self, metrics: Dict[str, Any], step: Optional[int] = None,
+                    epoch: Optional[int] = None):
+        record = {f"{self._prefix}{k}": _to_py(v) for k, v in metrics.items()}
+        record["_time"] = time.time()
+        if step is not None:
+            record["_step"] = int(step)
+        if epoch is not None:
+            record["_epoch"] = int(epoch)
+        self._sink.write(json.dumps(record) + "\n")
+        self._sink.flush()
+        if self._wandb is not None:
+            self._wandb.log(record, step=step)
+
+    def close(self):
+        self._sink.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def _to_py(v):
+    try:
+        import numpy as np
+
+        if isinstance(v, (np.generic,)):
+            return v.item()
+        if hasattr(v, "item") and getattr(v, "ndim", 1) == 0:
+            return float(v.item())
+    except Exception:
+        pass
+    if isinstance(v, (list, tuple)):
+        return [_to_py(x) for x in v]
+    return v

@@ -125,8 +125,8 @@ def test_train_step_with_substitution_on_mesh():
         )
         losses.append(float(aux["loss"]))
         assert aux["confmat"].shape == (C, C)
-        fake_logits = jnp.zeros((8, C, IMAGE_SIZE, IMAGE_SIZE)).at[:, 0].set(1.0)
-        sub.generate_new_points(fake_logits, gt, jax.random.key(100 + i))
+        sub.generate_new_points(aux["preds"], gt, jax.random.key(100 + i),
+                                num_classes=C)
     assert i == n_passes - 1
     assert all(np.isfinite(l) for l in losses)
     assert int(state.step) == 1

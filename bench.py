@@ -1,15 +1,18 @@
 """Benchmark entry point. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Default mode benchmarks prompt-conditioned episode decoding (prompt encoder +
-mask decoder, the LAM hot path at inference/training time) on the canonical
-flagship config: lam_no_vit @480px/256-dim, 5-way 1-shot episodes, bf16
-compute. ``--mode vit`` benchmarks SAM ViT-B @1024 embedding extraction
-(the generate_embeddings north star).
+Default mode benchmarks SAM ViT-B @1024 embedding extraction (the
+generate_embeddings north star) in bf16 with the fused rel-pos Pallas
+attention kernel. ``--mode decode`` benchmarks prompt-conditioned episode
+decoding (prompt encoder + mask decoder) on the flagship lam_no_vit config.
+
+Timing methodology: each timed step folds a step counter into the input and
+reduces the output to a scalar fetched to the host — ``block_until_ready``
+does not reliably block on the tunneled TPU backend, so scalar materialization
+is the only honest sync.
 
 ``vs_baseline`` compares against ``BENCH_BASELINE.json`` (written with
-``--update-baseline``), enabling round-over-round tracking; 1.0 when no
-baseline is recorded.
+``--update-baseline``); 1.0 when no baseline is recorded.
 """
 
 from __future__ import annotations
@@ -17,19 +20,54 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent
 BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 
 
-def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=30):
+def _timed(fn, args_fn, steps: int, warmup: int = 2):
+    for i in range(warmup):
+        float(fn(*args_fn(1000 + i)))
+    t0 = time.perf_counter()
+    vals = [fn(*args_fn(i)) for i in range(steps)]
+    total = sum(float(v) for v in vals)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total)
+    return dt / steps
+
+
+def bench_vit(batch_size=8, image_size=1024, steps=8):
+    from labelanything_tpu.models.build_encoder import build_vit_b
+
+    enc = build_vit_b(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch_size, image_size, image_size, 3)),
+                    jnp.bfloat16)
+    params = jax.jit(enc.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def step(params, x, i):
+        out = enc.apply(params, x + i.astype(x.dtype) * 0)
+        return jnp.sum(out.astype(jnp.float32))
+
+    sec = _timed(lambda i: step(params, x, jnp.int32(i)),
+                 lambda i: (i,), steps)
+    return {
+        "metric": f"images/sec/chip (SAM ViT-B {image_size}px embed, bf16, fused rel-pos attention)",
+        "value": round(batch_size / sec, 2),
+        "unit": "images/sec",
+    }
+
+
+def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=16):
     from labelanything_tpu.data.synthetic import random_batch
     from labelanything_tpu.models.build_lam import build_lam_no_vit
+    from labelanything_tpu.typing import BatchKeys, ResultDict
 
     model = build_lam_no_vit(
         image_embed_dim=768, embed_dim=256, image_size=image_size,
@@ -41,51 +79,32 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=30):
         image_size=image_size, embed_dim=768,
     ))
     params = jax.jit(model.init)(jax.random.key(0), batch)
-    fwd = jax.jit(model.apply)
 
-    jax.block_until_ready(fwd(params, batch))  # compile
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fwd(params, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    eps = batch_size * steps / dt
+    @jax.jit
+    def step(params, batch, i):
+        b = dict(batch)
+        b[BatchKeys.EMBEDDINGS] = b[BatchKeys.EMBEDDINGS] + i.astype(
+            b[BatchKeys.EMBEDDINGS].dtype) * 0
+        out = model.apply(params, b)
+        logits = out[ResultDict.LOGITS]
+        return jnp.sum(jnp.where(jnp.isfinite(logits), logits, 0.0))
+
+    sec = _timed(lambda i: step(params, batch, jnp.int32(i)),
+                 lambda i: (i,), steps)
     return {
         "metric": f"episodes/sec ({ways}-way {shots}-shot decode, {image_size}px, bf16)",
-        "value": round(eps, 2),
+        "value": round(batch_size / sec, 2),
         "unit": "episodes/sec",
-    }
-
-
-def bench_vit(batch_size=8, image_size=1024, steps=10):
-    from labelanything_tpu.models.build_encoder import build_vit_b
-
-    enc = build_vit_b(dtype=jnp.bfloat16)
-    x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.bfloat16)
-    params = jax.jit(enc.init)(jax.random.key(0), x)
-    fwd = jax.jit(enc.apply)
-
-    jax.block_until_ready(fwd(params, x))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    ips = batch_size * steps / dt
-    return {
-        "metric": f"images/sec/chip (SAM ViT-B {image_size}px embed, bf16)",
-        "value": round(ips, 2),
-        "unit": "images/sec",
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["decode", "vit"], default="decode")
+    ap.add_argument("--mode", choices=["vit", "decode"], default="vit")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
-    result = bench_decode() if args.mode == "decode" else bench_vit()
+    result = bench_vit() if args.mode == "vit" else bench_decode()
 
     baselines = {}
     if BASELINE_FILE.exists():

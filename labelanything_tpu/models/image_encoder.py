@@ -104,30 +104,57 @@ class ViTAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, _ = x.shape
         head_dim = self.dim // self.num_heads
+        hw = h * w
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv = qkv.reshape(b, hw, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (b, hw, heads, hd)
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        bias = None
-        if self.use_rel_pos:
-            rel_pos_h = self.param(
-                "rel_pos_h", nn.initializers.zeros,
-                (2 * self.input_size[0] - 1, head_dim),
-            )
-            rel_pos_w = self.param(
-                "rel_pos_w", nn.initializers.zeros,
-                (2 * self.input_size[1] - 1, head_dim),
-            )
-            q_flat = q.reshape(b * self.num_heads, h * w, head_dim)
-            bias = decomposed_rel_pos_bias(
-                q_flat, rel_pos_h, rel_pos_w, (h, w), (h, w)
-            ).reshape(b, self.num_heads, h * w, h * w)
+        if not self.use_rel_pos:
+            out = dot_product_attention(q, k, v)
+            out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
-        out = dot_product_attention(q, k, v, bias=bias)
+        rel_pos_h = self.param(
+            "rel_pos_h", nn.initializers.zeros,
+            (2 * self.input_size[0] - 1, head_dim),
+        )
+        rel_pos_w = self.param(
+            "rel_pos_w", nn.initializers.zeros,
+            (2 * self.input_size[1] - 1, head_dim),
+        )
+        # factored rel-pos terms: tiny (BH, HW, H) / (BH, HW, W) tensors
+        rh_table = get_rel_pos(h, h, rel_pos_h)  # (H, H, hd)
+        rw_table = get_rel_pos(w, w, rel_pos_w)  # (W, W, hd)
+        bh = b * self.num_heads
+        q3 = q.reshape(bh, hw, head_dim)
+        k3 = k.reshape(bh, hw, head_dim)
+        v3 = v.reshape(bh, hw, head_dim)
+        r_q = q3.reshape(bh, h, w, head_dim)
+        rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh_table).reshape(bh, hw, h)
+        rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw_table).reshape(bh, hw, w)
+        scale = head_dim ** -0.5
+
+        from ..ops.attention import _on_tpu
+        from ..ops.flash_attention import _BLOCK_Q, flash_attention_relpos
+
+        if _on_tpu() and hw >= 1024 and hw % _BLOCK_Q == 0:
+            # fused Pallas kernel: bias reconstructed per VMEM tile, no
+            # quadratic HBM buffers (see ops/flash_attention.py)
+            out3 = flash_attention_relpos(q3, k3, v3, rel_h, rel_w, scale, (h, w))
+        else:
+            s = jnp.einsum("bqd,bkd->bqk", q3, k3,
+                           preferred_element_type=jnp.float32) * scale
+            s = s.reshape(bh, hw, h, w)
+            s = s + rel_h.reshape(bh, hw, h)[..., None]
+            s = s + rel_w.reshape(bh, hw, w)[:, :, None, :]
+            p = jax.nn.softmax(s.reshape(bh, hw, hw), axis=-1).astype(v3.dtype)
+            out3 = jnp.einsum("bqk,bkd->bqd", p, v3)
+
+        out = out3.reshape(b, self.num_heads, hw, head_dim)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

@@ -1,20 +1,31 @@
-"""Pallas TPU attention kernel.
+"""Pallas TPU attention kernels.
 
-Block-tiled attention that keeps the (q_block, K) score tile entirely in VMEM,
-so the score matrix never round-trips through HBM (the usual bandwidth cost of
-naive attention). At the sequence lengths this framework encounters
-(<= 4096 image tokens for SAM-ViT @1024px), the full K/V of one (batch, head)
-slice fits comfortably in VMEM, so a one-shot softmax per q-block is both
-simpler and faster than a streaming flash loop.
+Two kernels share one structure (score tile resident in VMEM, one-shot
+softmax per q-block — at SAM's sequence lengths (<= 4096 tokens) the full
+K/V of one (batch, head) slice fits in VMEM, so no streaming accumulator is
+needed):
 
-The backward pass recomputes attention with the plain XLA formulation: at
-these sequence lengths recompute-based VJP is memory-optimal and XLA fuses it
-well, while keeping this kernel forward-only and simple.
+* ``flash_attention``: plain attention. Saves the HBM round-trip of the
+  (Q, K) score matrix.
+* ``flash_attention_relpos``: SAM/ViTDet global attention with decomposed
+  relative-position bias (reference: label_anything/models/image_encoder.py:
+  340-376). The naive formulation materializes TWO (B, heads, HW, HW) fp32
+  tensors (bias + scores) — 6.4 GB for ViT-B @1024px batch 8, an HBM OOM on
+  v5e. Here the bias is reconstructed per tile from the tiny factored terms
+  rel_h (BH, HW, H) and rel_w (BH, HW, W):
+      bias[q, (kh, kw)] = rel_h[q, kh] + rel_w[q, kw]
+  so nothing quadratic ever touches HBM.
+
+Backward passes recompute with the XLA formulation (flash recompute-VJP);
+for rel-pos training the XLA path materializes the bias per-block — fine at
+training batch sizes, and the LAM trainval configs freeze/skip the image
+encoder anyway (lam_no_vit).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_Q = 256
 
+
+# --------------------------------------------------------------------- #
+# plain attention
+# --------------------------------------------------------------------- #
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)          # (BQ, D)
@@ -99,3 +114,113 @@ def _bwd(scale, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------- #
+# fused decomposed rel-pos attention (SAM global attention)
+# --------------------------------------------------------------------- #
+
+def _relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
+                   *, scale: float, kh: int, kw: int):
+    q = q_ref[0].astype(jnp.float32)           # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)           # (K, D)
+    v = v_ref[0]                               # (K, D)
+    rh = rh_ref[0].astype(jnp.float32)         # (BQ, Kh)
+    rw = rw_ref[0].astype(jnp.float32)         # (BQ, Kw)
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                   # (BQ, Kh*Kw)
+    # bias[q, kh*Kw + kw] = rh[q, kh] + rw[q, kw], expanded to the flat key
+    # axis via one-hot expansion matmuls (Mosaic cannot shape-cast the score
+    # tile to 3D; these two (BQ, Kh)x(Kh, K) matmuls ride the MXU instead)
+    k_len = kh * kw
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kh, k_len), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kh, k_len), 0)
+    e_h = (lane // kw == row).astype(jnp.float32)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (kw, k_len), 1)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, k_len), 0)
+    e_w = (lane_w % kw == row_w).astype(jnp.float32)
+    s = s + jax.lax.dot_general(
+        rh, e_h, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(
+        rw, e_w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale: float,
+                     grid_hw: Tuple[int, int]):
+    """q/k/v: (BH, HW, D); rel_h: (BH, HW, H); rel_w: (BH, HW, W)."""
+    bh, q_len, d = q.shape
+    kh, kw = grid_hw
+    k_len = kh * kw
+    block_q = min(_BLOCK_Q, q_len)
+    grid = (bh, q_len // block_q)
+
+    return pl.pallas_call(
+        functools.partial(_relpos_kernel, scale=scale, kh=kh, kw=kw),
+        out_shape=jax.ShapeDtypeStruct((bh, q_len, d), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, kh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, kw), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * q_len * k_len * d,
+            bytes_accessed=(3 * bh * q_len * d + rel_h.size + rel_w.size)
+            * q.dtype.itemsize,
+            transcendentals=bh * q_len * k_len,
+        ),
+    )(q, k, v, rel_h, rel_w)
+
+
+def _relpos_xla_ref(q, k, v, rel_h, rel_w, scale, grid_hw):
+    kh, kw = grid_hw
+    bh, q_len, d = q.shape
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
+    bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(bh, q_len, kh * kw)
+    p = jax.nn.softmax(s + bias, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_relpos(q, k, v, rel_h, rel_w, scale: float,
+                           grid_hw: Tuple[int, int]):
+    """Fused SAM global attention. q/k/v (BH, HW, D); rel factored biases."""
+    return _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale, grid_hw)
+
+
+def _relpos_fwd(q, k, v, rel_h, rel_w, scale, grid_hw):
+    return _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale, grid_hw), (
+        q, k, v, rel_h, rel_w)
+
+
+def _relpos_bwd(scale, grid_hw, res, g):
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, rh, rw: _relpos_xla_ref(a, b, c, rh, rw, scale, grid_hw),
+        q, k, v, rel_h, rel_w,
+    )
+    return vjp(g)
+
+
+flash_attention_relpos.defvjp(_relpos_fwd, _relpos_bwd)

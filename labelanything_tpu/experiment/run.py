@@ -354,6 +354,79 @@ class Run:
             "fbiou": float(fb_iou(jnp.asarray(cm2))),
         }
 
+    # ------------------------------------------------------------------ #
+    # cross-domain test protocol (reference: run.py:744-843)
+    # ------------------------------------------------------------------ #
+
+    def test(self, batch_size: int = 8) -> Dict[str, float]:
+        """Support prompts -> cached class embeddings -> per-image predict."""
+        from ..data.crossdomain import (BrainMriTestDataset, DramTestDataset,
+                                        KvasirTestDataset, WeedMapTestDataset)
+        from ..data.test import CocoLVISTestDataset
+        from ..train.metrics import fb_iou as _fb, strict_mean_iou as _smi
+
+        registry = {
+            "test_coco": CocoLVISTestDataset,
+            "test_lvis": CocoLVISTestDataset,
+            "test_kvasir": KvasirTestDataset,
+            "test_kvaris": KvasirTestDataset,  # reference's registry typo
+            "test_weedmap": WeedMapTestDataset,
+            "test_brain": BrainMriTestDataset,
+            "test_dram": DramTestDataset,
+        }
+        assert self.test_params, "no test datasets configured"
+        results: Dict[str, float] = {}
+        for name, p in self.test_params.items():
+            key = name if name in registry else "_".join(name.split("_")[:2])
+            dataset = registry[key](**p)
+            results.update({f"{name}_{k}": v for k, v in self._test_one(
+                dataset, name, batch_size).items()})
+        return results
+
+    def _test_one(self, dataset, name: str, batch_size: int) -> Dict[str, float]:
+        support = dataset.extract_prompts()
+        support_dev = {k: jnp.asarray(v) for k, v in support.items()}
+        if self.state is None:
+            # initialize parameters from the support batch shapes
+            fake_gt = jnp.full((1,) + (self.image_size, self.image_size),
+                               IGNORE_INDEX, jnp.int32)
+            self._lazy_init(support_dev, fake_gt)
+
+        gen = jax.jit(lambda p, b: self.model.apply(
+            p, b, method="generate_class_embeddings"))
+        class_embs = gen(self.state.params["model"], support_dev)
+
+        predict = jax.jit(lambda p, b, c: jnp.argmax(self.model.apply(
+            p, b, c, method="predict"), axis=1))
+
+        c = dataset.num_classes
+        cm = np.zeros((c, c), np.int64)
+        cm2 = np.zeros((2, 2), np.int64)
+        items = [dataset[i] for i in range(len(dataset))]
+        for start in range(0, len(items), batch_size):
+            chunk = items[start:start + batch_size]
+            pad = batch_size - len(chunk)
+            chunk_p = chunk + [chunk[-1]] * pad
+            batch, gt = dataset.collate_fn(chunk_p)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            preds = np.asarray(predict(self.state.params["model"], batch,
+                                       class_embs))
+            if pad:
+                preds, gt = preds[:len(chunk)], gt[:len(chunk)]
+            valid = gt != IGNORE_INDEX
+            p = np.clip(preds[valid], 0, c - 1)
+            t = np.clip(gt[valid], 0, c - 1)
+            cm += np.bincount(t * c + p, minlength=c * c).reshape(c, c)
+            cm2 += binary_confusion_np(preds, gt)
+        metrics = {
+            "miou": float(strict_mean_iou(jnp.asarray(cm))),
+            "fbiou": float(fb_iou(jnp.asarray(cm2))),
+        }
+        with self.tracker.phase(f"test/{name}"):
+            self.tracker.log_metrics(metrics)
+        logger.info("test %s: %s", name, {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
     def _eval_forward(self, input_dict):
         if not hasattr(self, "_eval_fn") or self._eval_fn is None:
             params_sh = NamedSharding(self.mesh, P())

@@ -262,3 +262,77 @@ def build_lam_dino_b8(**kwargs):
 
 def build_lam_no_vit(**kwargs):
     return _build_lam(build_vit=None, use_vit=False, **kwargs)
+
+
+def build_multilevel_lam(
+    embed_dims=(256, 512, 1024),
+    image_size=384,
+    class_attention=False,
+    example_attention=False,
+    example_class_attention=True,
+    encoder_attention_downsample_rate: int = 2,
+    decoder_attention_downsample_rate: int = 2,
+    classification_layer_downsample_rate: int = 8,
+    class_encoder=None,
+    segment_example_logits=False,
+    dropout: float = 0.0,
+    apply_masks=False,
+    dtype=jnp.float32,
+    vit_patch_sizes=(8, 16, 32),
+    **kwargs,
+):
+    """Multi-scale variant (reference: build_lam.py:303-399). Consumes
+    precomputed pyramid embeddings {'stageN': (B, N, H, W, C)}; per-level
+    encoders/decoders sized by ``embed_dims``."""
+    from .multilevel import (MultiLevelLam, MultiLevelMaskDecoder,
+                             MultiLevelPromptEncoder)
+
+    encoders = []
+    decoders = []
+    for dim, patch in zip(embed_dims, vit_patch_sizes):
+        grid = image_size // patch
+        if class_encoder is not None:
+            params = {k: v for k, v in class_encoder.items() if k != "name"}
+            params["embed_dim"] = dim
+            ce = _CLASS_ENCODERS[class_encoder["name"]](**params)
+        else:
+            ce = IdentityClassEncoder()
+        encoders.append(PromptImageEncoder(
+            embed_dim=dim,
+            image_embedding_size=(grid, grid),
+            input_image_size=(image_size, image_size),
+            mask_in_chans=16,
+            class_attention=class_attention,
+            example_attention=example_attention,
+            example_class_attention=example_class_attention,
+            dropout=dropout,
+            transformer=TwoWayTransformer(
+                depth=2, embedding_dim=dim, mlp_dim=2048,
+                attention_downsample_rate=encoder_attention_downsample_rate,
+                num_heads=8, dropout=dropout, apply_masks=apply_masks,
+                dtype=dtype),
+            class_encoder=ce,
+            apply_masks=apply_masks,
+            dtype=dtype,
+        ))
+        decoders.append(MaskDecoderLam(
+            transformer_dim=dim,
+            transformer=TwoWayTransformer(
+                depth=2, embedding_dim=dim, mlp_dim=2048,
+                attention_downsample_rate=decoder_attention_downsample_rate,
+                num_heads=8, dropout=dropout, apply_masks=apply_masks,
+                dtype=dtype),
+            segment_example_logits=segment_example_logits,
+            classification_layer_downsample_rate=classification_layer_downsample_rate,
+            dropout=dropout,
+            dtype=dtype,
+        ))
+    return MultiLevelLam(
+        image_encoder=None,
+        neck=None,
+        prompt_encoder=MultiLevelPromptEncoder(prompt_encoders=tuple(encoders)),
+        mask_decoder=MultiLevelMaskDecoder(
+            mask_decoders=tuple(decoders), embed_dims=tuple(embed_dims),
+            segment_example_logits=segment_example_logits, dtype=dtype),
+        image_size=image_size,
+    )

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..ops.resize import adaptive_avg_pool, resize_bilinear
 from ..typing import BatchKeys, Label, ResultDict
-from .common import AttentionMLPBlock, LayerNorm2d
+from .common import Attention, AttentionMLPBlock, LayerNorm2d
 from .transformer import OneWayAttentionBlock
 
 
@@ -176,6 +176,88 @@ class EmbeddingTransformer(nn.Module):
         }
 
 
+class GuidedPooler(nn.Module):
+    """Gumbel-softmax fg/bg mask chooser extraction
+    (reference: prompt_encoder.py:315-393).
+
+    Faithfulness notes: the reference (a) builds ``nn.MultiheadAttention``
+    without ``batch_first``, so the self-attention runs over the (B·M·C)
+    axis with pixels as the batch; (b) applies ``F.gumbel_softmax`` with the
+    default ``dim=-1``, i.e. over the W axis of the NCHW mask logits. Both
+    quirks are reproduced.
+    """
+
+    emb_dim: int
+    num_embeddings: int
+    tau: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    def _chooser(self, x, name):
+        d = self.emb_dim
+        x = nn.relu(nn.Conv(d // 2, (1, 1), dtype=self.dtype, name=f"{name}_0")(x))
+        x = nn.relu(nn.Conv(d // 4, (1, 1), dtype=self.dtype, name=f"{name}_1")(x))
+        x = nn.relu(nn.Conv(d // 8, (1, 1), dtype=self.dtype, name=f"{name}_2")(x))
+        return nn.Conv(self.num_embeddings + 1, (1, 1), dtype=self.dtype,
+                       name=f"{name}_3")(x)
+
+    def _act(self, logits, deterministic):
+        # gumbel softmax over the W axis (reference dim=-1 on NCHW)
+        if not deterministic and self.has_rng("gumbel"):
+            g = jax.random.gumbel(self.make_rng("gumbel"), logits.shape)
+            logits = logits + g
+        return jax.nn.softmax(logits / self.tau, axis=2)
+
+    @nn.compact
+    def __call__(self, src, image_pe, flag_examples, *, deterministic=True):
+        """src: (B*M*C, h, w, D); flags: (B, M, C)."""
+        b, m, c = flag_examples.shape
+        h, w, d = src.shape[-3:]
+        n = self.num_embeddings
+        src = src + image_pe
+        src6 = src.reshape(b, m, c, h, w, d)
+        fg_src = src6[:, :, 1:]
+        bg_src = fg_src.mean(axis=2, keepdims=True)
+        fg_flags = flag_examples[:, :, 1:]
+        bg_flags = (fg_flags.sum(axis=2) > 0).astype(jnp.int32)[:, :, None]
+
+        attn = Attention(self.emb_dim, num_heads=8, dtype=self.dtype,
+                         name="attention")
+
+        def seq_attn(x, cc):
+            # tokens over the (b m c) axis, pixels as batch (reference quirk)
+            toks = x.reshape(b * m * cc, h * w, d).transpose(1, 0, 2)
+            out = attn(toks, toks, toks, deterministic=deterministic)
+            return out.transpose(1, 0, 2).reshape(b * m * cc, h, w, d)
+
+        fg = seq_attn(fg_src, c - 1)
+        bg = seq_attn(bg_src, 1)
+
+        fg_mask = self._act(self._chooser(fg, "fg_chooser"), deterministic)
+        bg_mask = self._act(self._chooser(bg, "bg_chooser"), deterministic)
+        # drop chooser channel 0; (bmc, h, w, n) -> (n, bmc, 1, h, w)
+        fg_mask = fg_mask[..., 1:].transpose(3, 0, 1, 2)[:, :, None]
+        bg_mask = bg_mask[..., 1:].transpose(3, 0, 1, 2)[:, :, None]
+
+        # adaptive_avg_pool2d(mask * src, (1, 1)) == mean over (H, W)
+        fg_e = (fg_mask * fg.transpose(0, 3, 1, 2)[None]).mean(axis=(3, 4))
+        bg_e = (bg_mask * bg.transpose(0, 3, 1, 2)[None]).mean(axis=(3, 4))
+        fg_e = fg_e.transpose(1, 0, 2)  # (n, bmc', d) -> (bmc', n, d)
+        bg_e = bg_e.transpose(1, 0, 2)
+        fg_e = fg_e.reshape(b, m, c - 1, n, d).transpose(0, 3, 1, 2, 4)
+        fg_e = fg_e.reshape(b, n * m, c - 1, d)
+        bg_e = bg_e.reshape(b, m, 1, n, d).transpose(0, 3, 1, 2, 4)
+        bg_e = bg_e.reshape(b, n * m, 1, d)
+        embeddings = jnp.concatenate([bg_e, fg_e], axis=2)  # (B, n*M, C, D)
+
+        flags = jnp.concatenate([bg_flags, fg_flags], axis=2)
+        flags = jnp.tile(flags, (1, n, 1))
+        return {
+            ResultDict.EXAMPLES_CLASS_EMBS: embeddings,
+            BatchKeys.FLAG_EXAMPLES: flags,
+            ResultDict.MASK_EMBEDDINGS: (bg_mask, fg_mask),
+        }
+
+
 class PromptImageEncoder(nn.Module):
     """Fuses visual prompts with support-image features into per-class
     embeddings (reference: prompt_encoder.py:396-827 — the LAM core novelty).
@@ -294,8 +376,10 @@ class PromptImageEncoder(nn.Module):
                 dtype=self.dtype,
             )
         elif self.embedding_extraction == "pooler":
-            raise NotImplementedError(
-                "GuidedPooler extraction is scheduled for a later round"
+            self.embedding_extraction_module = GuidedPooler(
+                emb_dim=self.embed_dim,
+                num_embeddings=self.embeddings_per_example,
+                dtype=self.dtype,
             )
         else:
             self.embedding_extraction_module = None

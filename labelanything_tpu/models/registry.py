@@ -18,8 +18,10 @@ from .build_lam import (
     build_lam_vit_h,
     build_lam_vit_l,
     build_lam_vit_mae_b,
+    build_multilevel_lam,
 )
 from .dummy import build_dummy
+from .similarity import build_similarity
 
 
 def _not_ported(name):
@@ -41,7 +43,14 @@ model_registry = {
     "lam_mae_b": build_lam_vit_mae_b,
     "lam_dino_b8": build_lam_dino_b8,
     "lam_b_imagenet_i21k": build_lam_vit_b_imagenet_i21k,
+    "multilevel_lam": build_multilevel_lam,
+    "similarity": build_similarity,
+    "sam": None,  # populated below (lazy import keeps registry import light)
     "dummy": build_dummy,
+    "sam_h": None,
+    "sam_l": None,
+    "sam_b": None,
+    "asam_b": None,
     "dcama": _not_ported("dcama"),
     "fptrans": _not_ported("fptrans"),
     "panet": _not_ported("panet"),
@@ -49,3 +58,19 @@ model_registry = {
     "denet": _not_ported("denet"),
     **ENCODERS,
 }
+
+
+def _register_sam():
+    from .sam import (build_asam_vit_b, build_sam_vit_b, build_sam_vit_h,
+                      build_sam_vit_l)
+
+    model_registry.update({
+        "sam": build_sam_vit_h,
+        "sam_h": build_sam_vit_h,
+        "sam_l": build_sam_vit_l,
+        "sam_b": build_sam_vit_b,
+        "asam_b": build_asam_vit_b,
+    })
+
+
+_register_sam()

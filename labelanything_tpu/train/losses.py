@@ -177,6 +177,64 @@ def prompt_contrastive_loss(
     return jnp.where(pair_mask, loss, 0.0).sum() / b
 
 
+def symmetric_loss(input1: jax.Array, input2: jax.Array, labels: jax.Array,
+                   t: float = 1.0, norm: bool = True) -> jax.Array:
+    """CLIP-style symmetric cross-entropy (reference: loss/symmetric.py:5-21).
+    ``labels`` is the identity-pairing matrix as in the reference pretraining
+    loop (rows one-hot over columns)."""
+    if norm:
+        input1 = input1 / jnp.maximum(
+            jnp.linalg.norm(input1, axis=1, keepdims=True), 1e-12)
+        input2 = input2 / jnp.maximum(
+            jnp.linalg.norm(input2, axis=1, keepdims=True), 1e-12)
+    logits = input1 @ input2.T * jnp.exp(jnp.asarray(t, jnp.float32))
+
+    def soft_ce(lg, lb):
+        return -(jax.nn.log_softmax(lg, axis=-1) * lb).sum(axis=-1).mean()
+
+    return 0.5 * (soft_ce(logits, labels) + soft_ce(logits.T, labels.T))
+
+
+def _mask_balance_loss(mask: jax.Array, tol: float = 0.25) -> jax.Array:
+    """(reference: loss/mask.py loss_balance). mask: (B, N, 1, H, W)."""
+    b, n = mask.shape[:2]
+    eps = 1e-6
+    summed = mask.reshape(b, n, -1).sum(axis=-1)
+    target = (jnp.abs(summed).sum(axis=1) / n)[:, None]
+    balance = (jnp.abs(summed - target) / (target + eps)).sum(axis=1) / n
+    return nn.relu(balance - tol).sum() / b
+
+
+def _entropy(probabilities: jax.Array) -> jax.Array:
+    eps = 1e-10
+    p = probabilities + eps
+    return -(p * jnp.log(p) / jnp.log(2.0)).sum(axis=-1)
+
+
+def mask_embedding_loss(result: Dict[str, jax.Array],
+                        alpha: float = 0.2, beta: float = 0.4,
+                        gamma: float = 0.4) -> jax.Array:
+    """GuidedPooler mask regularizer (reference: loss/mask.py
+    MaskEmbeddingLoss): balance the per-embedding mask mass, plus entropy and
+    orthogonality terms over the soft choices."""
+    bg, fg = result[ResultDict.MASK_EMBEDDINGS]
+    # (n, BMC, 1, H, W) -> (BMC, n, 1, H, W)
+    bg = jnp.moveaxis(bg, 0, 1)
+    fg = jnp.moveaxis(fg, 0, 1)
+    balance = 0.5 * (_mask_balance_loss(bg) + _mask_balance_loss(fg)) * alpha
+
+    def flat(m):
+        b, n = m.shape[:2]
+        return m.reshape(b, n, -1)
+
+    entropy = 0.5 * (
+        _entropy(flat(bg) / jnp.maximum(flat(bg).sum(-1, keepdims=True), 1e-6)).mean()
+        + _entropy(flat(fg) / jnp.maximum(flat(fg).sum(-1, keepdims=True), 1e-6)).mean()
+    ) * beta
+    ortho = 0.5 * (loss_orthogonality(flat(bg)) + loss_orthogonality(flat(fg))) * gamma
+    return balance + entropy + ortho
+
+
 LOGITS_LOSSES = {
     "focal": focal_loss,
     "dice": dice_loss,
@@ -226,6 +284,8 @@ class LabelAnythingLoss(nn.Module):
                 value = prompt_contrastive_loss(result, t_prime, bias)
             elif name == "emb_contrastive":
                 value = class_embedding_contrastive_loss(result)
+            elif name == "masks":
+                value = mask_embedding_loss(result, **cfg)
             else:
                 raise ValueError(f"Unknown loss component {name!r}")
             parts[name] = value

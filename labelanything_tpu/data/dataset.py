@@ -30,6 +30,7 @@ def _round_up(n: int, multiple: int) -> int:
 
 def _registry():
     from .coco20i import Coco20iDataset
+    from .pascal import Pascal5iDataset, PascalDataset
 
     return {
         "coco": CocoLVISDataset,
@@ -38,6 +39,9 @@ def _registry():
         "val_lvis": CocoLVISDataset,
         "coco20i": Coco20iDataset,
         "val_coco20i": Coco20iDataset,
+        "pascal": PascalDataset,
+        "pascal5i": Pascal5iDataset,
+        "val_pascal5i": Pascal5iDataset,
         **_EXTRA_DATASETS,
     }
 

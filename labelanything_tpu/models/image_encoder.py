@@ -141,7 +141,8 @@ class ViTAttention(nn.Module):
         from ..ops.attention import _on_tpu
         from ..ops.flash_attention import _BLOCK_Q, flash_attention_relpos
 
-        if _on_tpu() and hw >= 1024 and hw % _BLOCK_Q == 0:
+        kernel_ok = hw % _BLOCK_Q == 0 or hw <= _BLOCK_Q
+        if _on_tpu() and kernel_ok:
             # fused Pallas kernel: bias reconstructed per VMEM tile, no
             # quadratic HBM buffers (see ops/flash_attention.py)
             out3 = flash_attention_relpos(q3, k3, v3, rel_h, rel_w, scale, (h, w))

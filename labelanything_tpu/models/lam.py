@@ -204,6 +204,21 @@ class Lam(nn.Module):
         )
         return self.postprocess_masks_fixed(seg, batched_input[BatchKeys.DIMS])
 
+    def raw_decode(self, batched_input, class_embeddings, *,
+                   deterministic: bool = True) -> jax.Array:
+        """Decoder-resolution logits for cached class embeddings (the
+        pre-postprocess counterpart of ``predict``, used by host-side
+        original-resolution evaluation)."""
+        query_embeddings = self.prepare_embeddings(batched_input)[:, 0]
+        return self.mask_decoder(
+            query_embeddings=query_embeddings,
+            support_embeddings=None,
+            image_pe=self.get_dense_pe(),
+            pe_result=class_embeddings,
+            flag_examples=None,
+            deterministic=deterministic,
+        )
+
     def postprocess_masks_fixed(self, seg: jax.Array, dims: jax.Array) -> jax.Array:
         """Upscale logits to the fixed ``image_size`` frame and -inf-mask the
         per-sample padding region (bg forced to 0), matching the reference's

@@ -53,7 +53,6 @@ model_registry = {
     "asam_b": None,
     "dcama": _not_ported("dcama"),
     "fptrans": _not_ported("fptrans"),
-    "panet": _not_ported("panet"),
     "ppnet": _not_ported("ppnet"),
     "denet": _not_ported("denet"),
     **ENCODERS,
@@ -64,12 +63,15 @@ def _register_sam():
     from .sam import (build_asam_vit_b, build_sam_vit_b, build_sam_vit_h,
                       build_sam_vit_l)
 
+    from .panet import build_panet
+
     model_registry.update({
         "sam": build_sam_vit_h,
         "sam_h": build_sam_vit_h,
         "sam_l": build_sam_vit_l,
         "sam_b": build_sam_vit_b,
         "asam_b": build_asam_vit_b,
+        "panet": build_panet,
     })
 
 

@@ -90,7 +90,10 @@ class StandardViT(nn.Module):
             patch_pe = patch_pe.reshape(
                 1, self.pretrain_grid, self.pretrain_grid, self.embed_dim
             )
-            patch_pe = resize_bilinear(patch_pe, (gh, gw), spatial_axes=(1, 2))
+            # HF interpolate_pos_encoding uses bicubic
+            patch_pe = jax.image.resize(
+                patch_pe, (1, gh, gw, self.embed_dim), method="cubic",
+                antialias=False)
             patch_pe = patch_pe.reshape(1, gh * gw, self.embed_dim)
 
         cls = jnp.broadcast_to(cls_token + cls_pe, (b, 1, self.embed_dim))

@@ -148,6 +148,118 @@ def preprocess_images_to_embeddings(
     return rate
 
 
+def preprocess_images_to_embeddings_huggingface(
+    model_name: str,
+    directory: str,
+    instances_path: Optional[str] = None,
+    batch_size: int = 8,
+    num_workers: int = 16,
+    outfolder: str = "data/processed/embeddings",
+    image_resolution: int = 480,
+    custom_preprocess: bool = True,
+    dtype=jnp.bfloat16,
+    limit: Optional[int] = None,
+):
+    """HF-ViT embedding extraction (reference: preprocess.py:210-258), run
+    natively: the HF checkpoint (a LOCAL directory with config.json +
+    model.safetensors / pytorch_model.bin — no network egress here) is
+    name-mapped into StandardViT and jit-compiled on the TPU."""
+    import json as _json
+
+    from .models.vit import StandardViT
+    from .utils.torch_import import (convert_hf_vit_state_dict,
+                                     load_torch_file, merge_into_params)
+
+    ckpt = pathlib.Path(model_name)
+    with open(ckpt / "config.json") as f:
+        cfg = _json.load(f)
+    patch = cfg.get("patch_size", 16)
+    encoder = StandardViT(
+        patch_size=patch,
+        embed_dim=cfg.get("hidden_size", 768),
+        depth=cfg.get("num_hidden_layers", 12),
+        num_heads=cfg.get("num_attention_heads", 12),
+        mlp_ratio=cfg.get("intermediate_size", 3072) / cfg.get("hidden_size", 768),
+        pretrain_grid=cfg.get("image_size", 224) // patch,
+        layernorm_eps=cfg.get("layer_norm_eps", 1e-12),
+        dtype=dtype,
+    )
+    probe = jnp.zeros((batch_size, image_resolution, image_resolution, 3))
+    params = jax.jit(encoder.init)(jax.random.key(0), probe)
+    weights = None
+    for fname in ("model.safetensors", "pytorch_model.bin"):
+        if (ckpt / fname).exists():
+            weights = load_torch_file(str(ckpt / fname))
+            break
+    if weights is None:
+        raise FileNotFoundError(f"no weights under {ckpt}")
+    params = merge_into_params(params, convert_hf_vit_state_dict(weights))
+
+    encode = jax.jit(encoder.apply)
+    from safetensors.numpy import save_file
+
+    os.makedirs(outfolder, exist_ok=True)
+    files = _image_files(instances_path, directory)
+    if limit:
+        files = files[:limit]
+    io_pool = ThreadPoolExecutor(num_workers)
+
+    def load_one(item):
+        image_id, path = item
+        arr, _ = preprocess_image(Image.open(path), image_resolution,
+                                  custom_preprocess)
+        return image_id, arr
+
+    t0, done = time.time(), 0
+    batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
+    for chunk in io_pool.map(lambda c: [load_one(it) for it in c], batches):
+        ids = [c[0] for c in chunk]
+        arrs = np.stack([c[1] for c in chunk])
+        if len(ids) < batch_size:
+            arrs = np.concatenate([arrs, np.zeros(
+                (batch_size - len(ids),) + arrs.shape[1:], arrs.dtype)])
+        out = np.asarray(encode(params, jnp.asarray(arrs)), np.float32)
+        for i, image_id in enumerate(ids):
+            save_file({"embedding": out[i].transpose(2, 0, 1)},
+                      os.path.join(outfolder,
+                                   f"{str(image_id).zfill(12)}.safetensors"))
+        done += len(ids)
+    rate = done / (time.time() - t0)
+    logger.info("hf embeddings: %d images at %.2f images/sec", done, rate)
+    return rate
+
+
+def preprocess_clip(clip_model_path: str, directory: str,
+                    instances_path: Optional[str] = None,
+                    outfolder: str = "data/processed/clip",
+                    batch_size: int = 16, limit: Optional[int] = None):
+    """CLIP image-embedding extraction for prompt-encoder pretraining
+    (reference: label_anything/preprocess_clip.py). Runs the CLIP vision
+    tower via transformers on the host CPU — an offline, one-time tool."""
+    import torch
+    from transformers import CLIPImageProcessor, CLIPVisionModel
+
+    from safetensors.numpy import save_file
+
+    model = CLIPVisionModel.from_pretrained(clip_model_path).eval()
+    processor = CLIPImageProcessor.from_pretrained(clip_model_path)
+    os.makedirs(outfolder, exist_ok=True)
+    files = _image_files(instances_path, directory)
+    if limit:
+        files = files[:limit]
+    with torch.no_grad():
+        for start in range(0, len(files), batch_size):
+            chunk = files[start:start + batch_size]
+            images = [Image.open(p).convert("RGB") for _, p in chunk]
+            inputs = processor(images=images, return_tensors="pt")
+            out = model(**inputs).last_hidden_state.numpy()
+            for (image_id, _), emb in zip(chunk, out):
+                save_file({"clip_embedding": emb},
+                          os.path.join(outfolder,
+                                       f"{str(image_id).zfill(12)}.safetensors"))
+    logger.info("clip embeddings written for %d images", len(files))
+
+
 def generate_ground_truths(dataset_name: str, anns_path: str, outfolder: str,
                            custom_preprocess: bool = True):
     """Inject per-image GT maps into existing safetensors caches

@@ -222,6 +222,56 @@ def merge_into_params(params: Dict[str, Any], converted: Dict[str, Any],
     return {"params": unflatten(new)}
 
 
+_HF_VIT_RENAMES: List[Tuple[str, str]] = [
+    # HuggingFace ViTModel (MAE / in21k / DINO) -> StandardViT
+    (r"^vit\.", ""),
+    (r"^embeddings\.cls_token$", "cls_token"),
+    (r"^embeddings\.position_embeddings$", "pos_embed"),
+    (r"^embeddings\.patch_embeddings\.projection\.", "patch_embed."),
+    (r"^encoder\.layer\.(\d+)\.attention\.attention\.query\.", r"blocks_\1.q."),
+    (r"^encoder\.layer\.(\d+)\.attention\.attention\.key\.", r"blocks_\1.k."),
+    (r"^encoder\.layer\.(\d+)\.attention\.attention\.value\.", r"blocks_\1.v."),
+    (r"^encoder\.layer\.(\d+)\.attention\.output\.dense\.", r"blocks_\1.proj."),
+    (r"^encoder\.layer\.(\d+)\.intermediate\.dense\.", r"blocks_\1.mlp.lin1."),
+    (r"^encoder\.layer\.(\d+)\.output\.dense\.", r"blocks_\1.mlp.lin2."),
+    (r"^encoder\.layer\.(\d+)\.layernorm_before\.", r"blocks_\1.norm1."),
+    (r"^encoder\.layer\.(\d+)\.layernorm_after\.", r"blocks_\1.norm2."),
+    (r"^layernorm\.", "norm."),
+]
+
+
+def convert_hf_vit_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a HuggingFace ViTModel state dict (e.g. facebook/vit-mae-base,
+    google/vit-base-patch16-224-in21k, facebook/dino-vitb8) into a
+    :class:`labelanything_tpu.models.vit.StandardViT` params tree."""
+    tree: Dict[str, Any] = {}
+
+    def insert(parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        value = np.asarray(value)
+        if "pooler" in key:
+            continue
+        key = _apply_renames(key, _HF_VIT_RENAMES)
+        parts = key.split(".")
+        if parts[-1] == "weight":
+            if value.ndim == 4:  # patch conv (O, I, kh, kw) -> (kh, kw, I, O)
+                insert(parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2:
+                insert(parts[:-1] + ["kernel"], value.T)
+            else:  # LayerNorm
+                insert(parts[:-1] + ["scale"], value)
+        elif parts[-1] in ("cls_token", "pos_embed"):
+            insert(parts, value)
+        else:
+            insert(parts, value)
+    return tree
+
+
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.bin/.safetensors checkpoint into numpy arrays."""
     if str(path).endswith(".safetensors"):

@@ -142,3 +142,47 @@ def test_sam_registry_entries():
 
     for name in ("sam_b", "asam_b", "multilevel_lam", "similarity"):
         assert callable(model_registry[name]), name
+
+
+def test_panet_baseline():
+    from labelanything_tpu.data.synthetic import random_full_batch
+    from labelanything_tpu.models.panet import build_panet
+
+    model = build_panet(image_size=S)
+    batch = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=1, num_examples=1, num_classes=C, image_size=S,
+        with_images=True, include_points=False, include_boxes=False))
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    out = jax.jit(model.apply)(params, batch)
+    logits = np.asarray(out[ResultDict.LOGITS])
+    assert logits.shape == (1, C, S, S)
+    assert np.isfinite(logits).any()
+
+
+def test_sam_fewshot_composition():
+    from labelanything_tpu.data.synthetic import random_full_batch
+    from labelanything_tpu.models.image_encoder import ImageEncoderViT
+    from labelanything_tpu.models.panet import PANet, SAMFewShotModel, VGG16Features
+    from labelanything_tpu.models.sam import AdaptedSam, SamMaskDecoder, SamPromptEncoder
+    from labelanything_tpu.models.transformer import TwoWayTransformer
+
+    sam = AdaptedSam(
+        image_encoder=ImageEncoderViT(img_size=S, patch_size=16, embed_dim=16,
+                                      depth=1, num_heads=2, out_chans=32,
+                                      window_size=2, global_attn_indexes=(0,)),
+        prompt_encoder=SamPromptEncoder(
+            embed_dim=32, image_embedding_size=(4, 4),
+            input_image_size=(S, S), mask_in_chans=16),
+        mask_decoder=SamMaskDecoder(
+            transformer_dim=32,
+            transformer=TwoWayTransformer(depth=1, embedding_dim=32,
+                                          num_heads=8, mlp_dim=32)),
+        image_size=S,
+    )
+    model = SAMFewShotModel(sam=sam, fewshot=PANet(image_size=S), image_size=S)
+    batch = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=1, num_examples=1, num_classes=C, image_size=S,
+        with_images=True))
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    out = jax.jit(model.apply)(params, batch)
+    assert out[ResultDict.LOGITS].shape == (1, C, S, S)

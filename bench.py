@@ -30,12 +30,29 @@ REPO = pathlib.Path(__file__).resolve().parent
 BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 
 
-def _timed(fn, args_fn, steps: int, warmup: int = 2):
-    for i in range(warmup):
-        float(fn(*args_fn(1000 + i)))
+def _timed_scan(step_fn, steps: int, warmup: bool = True):
+    """Time ``steps`` iterations of ``step_fn(i) -> scalar`` by chaining
+    async dispatches through a carry and fetching ONE final scalar: the
+    per-call host<->device round-trip (~30ms over the tunneled TPU) is paid
+    once instead of per step, measuring pure device throughput. (A lax.scan
+    wrapper would amortize equally but recompiles pathologically slowly on
+    the remote-compile backend.)"""
+
+    @jax.jit
+    def chained(carry, i):
+        return carry + step_fn(i)
+
+    assert np.isfinite(float(chained(jnp.float32(0), jnp.int32(0))))
+    if warmup:
+        carry = jnp.float32(0)
+        for i in range(2):
+            carry = chained(carry, jnp.int32(i))
+        float(carry)
+    carry = jnp.float32(0)
     t0 = time.perf_counter()
-    vals = [fn(*args_fn(i)) for i in range(steps)]
-    total = sum(float(v) for v in vals)
+    for i in range(steps):
+        carry = chained(carry, jnp.int32(i + 10))
+    total = float(carry)  # single sync
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
     return dt / steps
@@ -50,13 +67,11 @@ def bench_vit(batch_size=8, image_size=1024, steps=8):
                     jnp.bfloat16)
     params = jax.jit(enc.init)(jax.random.key(0), x)
 
-    @jax.jit
-    def step(params, x, i):
+    def step(i):
         out = enc.apply(params, x + i.astype(x.dtype) * 0)
         return jnp.sum(out.astype(jnp.float32))
 
-    sec = _timed(lambda i: step(params, x, jnp.int32(i)),
-                 lambda i: (i,), steps)
+    sec = _timed_scan(step, steps)
     return {
         "metric": f"images/sec/chip (SAM ViT-B {image_size}px embed, bf16, fused rel-pos attention)",
         "value": round(batch_size / sec, 2),
@@ -80,8 +95,7 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=16):
     ))
     params = jax.jit(model.init)(jax.random.key(0), batch)
 
-    @jax.jit
-    def step(params, batch, i):
+    def step(i):
         b = dict(batch)
         b[BatchKeys.EMBEDDINGS] = b[BatchKeys.EMBEDDINGS] + i.astype(
             b[BatchKeys.EMBEDDINGS].dtype) * 0
@@ -89,8 +103,7 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=16):
         logits = out[ResultDict.LOGITS]
         return jnp.sum(jnp.where(jnp.isfinite(logits), logits, 0.0))
 
-    sec = _timed(lambda i: step(params, batch, jnp.int32(i)),
-                 lambda i: (i,), steps)
+    sec = _timed_scan(step, steps)
     return {
         "metric": f"episodes/sec ({ways}-way {shots}-shot decode, {image_size}px, bf16)",
         "value": round(batch_size / sec, 2),

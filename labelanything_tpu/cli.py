@@ -94,6 +94,98 @@ def generate_embeddings_cmd(**kwargs):
     preprocess_images_to_embeddings(encoder_name=kwargs.pop("encoder"), **kwargs)
 
 
+@main.command("generate_embeddings_huggingface")
+@click.option("--model_name", required=True,
+              help="local HF checkpoint dir (config.json + weights)")
+@click.option("--directory", required=True, type=click.Path(exists=True))
+@click.option("--instances_path", default=None)
+@click.option("--batch_size", default=8)
+@click.option("--outfolder", default="data/processed/embeddings")
+@click.option("--image_resolution", default=480)
+@click.option("--custom_preprocess/--square_resize", default=True)
+@click.option("--limit", default=None, type=int)
+def generate_embeddings_hf_cmd(**kwargs):
+    from .preprocess import preprocess_images_to_embeddings_huggingface
+
+    preprocess_images_to_embeddings_huggingface(**kwargs)
+
+
+@main.command("generate_feature_pyramids")
+@click.option("--encoder", required=True, help="local backbone checkpoint dir")
+@click.option("--directory", required=True, type=click.Path(exists=True))
+@click.option("--instances_path", default=None)
+@click.option("--batch_size", default=4)
+@click.option("--outfolder", default="data/processed/pyramids")
+@click.option("--image_resolution", default=384)
+@click.option("--limit", default=None, type=int)
+def generate_feature_pyramids_cmd(encoder, **kwargs):
+    from .preprocess import preprocess_images_to_feature_pyramids
+
+    preprocess_images_to_feature_pyramids(encoder_name=encoder, **kwargs)
+
+
+@main.command("preprocess_clip")
+@click.option("--clip_model_path", required=True)
+@click.option("--directory", required=True, type=click.Path(exists=True))
+@click.option("--instances_path", default=None)
+@click.option("--outfolder", default="data/processed/clip")
+@click.option("--limit", default=None, type=int)
+def preprocess_clip_cmd(**kwargs):
+    from .preprocess import preprocess_clip
+
+    preprocess_clip(**kwargs)
+
+
+@main.command("preprocess_voc")
+@click.option("--input_folder", required=True, type=click.Path(exists=True))
+def preprocess_voc_cmd(input_folder):
+    from .preprocess import preprocess_voc
+
+    preprocess_voc(input_folder)
+
+
+@main.command("pretrain_pe")
+@click.option("--parameters", required=True, type=click.Path(exists=True))
+def pretrain_pe_cmd(parameters):
+    """CLIP-contrastive prompt-encoder pretraining."""
+    from .utils.config import expand_experiment, load_yaml
+
+    config = expand_experiment(load_yaml(parameters))[0]
+    from .data.loader import EpisodeLoader  # noqa: F401 (doc pointer)
+    from .data.prompt_encoder_dataset import PromptEncoderDataset, collate_fn
+    from .models.contrastive_pe import ContrastivePromptEncoder
+    from .models.registry import model_registry
+    from .train.pretraining import pretrain_prompt_encoder
+    import jax.numpy as jnp
+    import jax
+
+    model_cfg = dict(config["model"])
+    pe_cfg = dict(model_cfg.pop("prompt_encoder"))
+    lam = model_registry[pe_cfg.pop("name")](**pe_cfg)
+    model = ContrastivePromptEncoder(prompt_encoder=lam.prompt_encoder,
+                                     **model_cfg)
+    train_ds = PromptEncoderDataset(**config["dataset"]["train"])
+    val_ds = PromptEncoderDataset(**config["dataset"]["val"])
+
+    def batches(ds):
+        def gen():
+            n = len(ds)
+            step = config.get("classes_per_batch", min(4, n))
+            for start in range(0, n, step):
+                items = [ds[i] for i in range(start, min(start + step, n))]
+                yield jax.tree.map(jnp.asarray, collate_fn(items))
+        return gen
+
+    params = pretrain_prompt_encoder(
+        model, batches(train_ds), batches(val_ds),
+        **config.get("train_loop", {}))
+    from .train.checkpoint import save_params
+
+    out = config.get("out_dir", "runs/pretrain_pe/params")
+    save_params(out, params)
+    click.echo(f"saved pretrained prompt encoder params to {out}")
+
+
 @main.command("generate_gt")
 @click.option("--dataset_name", required=True)
 @click.option("--anns_path", required=True, type=click.Path(exists=True))

@@ -67,6 +67,12 @@ def _array_to_counts(arr: Sequence[int]) -> str:
 def decode(rle: RLEObj) -> np.ndarray:
     """Decode an RLE object to a (H, W) uint8 mask."""
     h, w = rle["size"]
+    if isinstance(rle["counts"], (str, bytes)):
+        from . import native
+
+        fast = native.rle_decode(rle["counts"], int(h), int(w))
+        if fast is not None:
+            return fast
     counts = _counts_to_array(rle["counts"])
     total = int(counts.sum())
     if total != h * w:

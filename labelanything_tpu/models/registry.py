@@ -51,7 +51,6 @@ model_registry = {
     "sam_l": None,
     "sam_b": None,
     "asam_b": None,
-    "dcama": _not_ported("dcama"),
     "fptrans": _not_ported("fptrans"),
     "ppnet": _not_ported("ppnet"),
     "denet": _not_ported("denet"),
@@ -63,9 +62,11 @@ def _register_sam():
     from .sam import (build_asam_vit_b, build_sam_vit_b, build_sam_vit_h,
                       build_sam_vit_l)
 
+    from .dcama import build_dcama
     from .panet import build_panet
 
     model_registry.update({
+        "dcama": build_dcama,
         "sam": build_sam_vit_h,
         "sam_h": build_sam_vit_h,
         "sam_l": build_sam_vit_l,

@@ -286,6 +286,65 @@ def generate_ground_truths(dataset_name: str, anns_path: str, outfolder: str,
         save_file(loaded, path)
 
 
+def preprocess_images_to_feature_pyramids(
+    encoder_name: str,
+    directory: str,
+    instances_path: Optional[str] = None,
+    batch_size: int = 4,
+    outfolder: str = "data/processed/pyramids",
+    image_resolution: int = 384,
+    custom_preprocess: bool = True,
+    out_features=("stage2", "stage3", "stage4"),
+    limit: Optional[int] = None,
+):
+    """Multi-scale feature-pyramid caches for MultiLevelLam
+    (reference: preprocess.py:262-322). ResNet/Swin pyramid backbones come
+    from transformers AutoBackbone; that tower runs on the host torch-cpu as
+    an offline tool (the TPU path consumes the cached pyramids).
+
+    ``encoder_name`` must be a LOCAL checkpoint directory."""
+    import torch
+    from transformers import AutoBackbone
+
+    from safetensors.numpy import save_file
+
+    backbone = AutoBackbone.from_pretrained(
+        encoder_name, out_features=list(out_features)).eval()
+    os.makedirs(outfolder, exist_ok=True)
+    files = _image_files(instances_path, directory)
+    if limit:
+        files = files[:limit]
+    with torch.no_grad():
+        for start in range(0, len(files), batch_size):
+            chunk = files[start:start + batch_size]
+            arrs = []
+            for _, path in chunk:
+                arr, _ = preprocess_image(Image.open(path), image_resolution,
+                                          custom_preprocess)
+                arrs.append(arr.transpose(2, 0, 1))
+            out = backbone(torch.from_numpy(np.stack(arrs)))
+            stages = {name: fm.numpy() for name, fm in
+                      zip(out_features, out.feature_maps)}
+            for i, (image_id, _) in enumerate(chunk):
+                save_file({name: fm[i] for name, fm in stages.items()},
+                          os.path.join(outfolder,
+                                       f"{str(image_id).zfill(12)}.safetensors"))
+    logger.info("pyramids written for %d images", len(files))
+
+
+def preprocess_voc(input_folder: str):
+    """Convert VOC palette masks to class-id PNGs
+    (reference: data/voc12.py preprocess_voc)."""
+    folder = pathlib.Path(input_folder)
+    out_dir = folder.parent / (folder.name + "Processed")
+    out_dir.mkdir(exist_ok=True)
+    for path in sorted(folder.glob("*.png")):
+        img = Image.open(path)
+        arr = np.asarray(img.convert("P") if img.mode != "P" else img)
+        Image.fromarray(arr.astype(np.uint8)).save(out_dir / path.name)
+    logger.info("VOC masks processed into %s", out_dir)
+
+
 def rename_coco20i_json(instances_path: str):
     """(reference: preprocess.py:325-336)."""
     with open(instances_path) as f:

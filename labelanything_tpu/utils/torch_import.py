@@ -222,6 +222,66 @@ def merge_into_params(params: Dict[str, Any], converted: Dict[str, Any],
     return {"params": unflatten(new)}
 
 
+_DCAMA_RENAMES: List[Tuple[str, str]] = [
+    # Swin backbone (reference: models/dcama/swin_transformer.py)
+    (r"^feature_extractor\.patch_embed\.proj\.", "feature_extractor.patch_embed."),
+    (r"^feature_extractor\.patch_embed\.norm\.", "feature_extractor.patch_norm."),
+    (r"^feature_extractor\.layers\.(\d+)\.blocks\.(\d+)\.",
+     r"feature_extractor.layers_\1_blocks_\2."),
+    (r"^feature_extractor\.layers\.(\d+)\.downsample\.",
+     r"feature_extractor.layers_\1_downsample."),
+    (r"\.mlp\.fc1\.", ".mlp_fc1."),
+    (r"\.mlp\.fc2\.", ".mlp_fc2."),
+    # DCAMA head (reference: models/dcama/dcama.py:142-256)
+    (r"^model\.DCAMA_blocks\.(\d+)\.linears\.0\.", r"model.dcama_block_\1.q."),
+    (r"^model\.DCAMA_blocks\.(\d+)\.linears\.1\.", r"model.dcama_block_\1.k."),
+    (r"^model\.conv(\d)\.0\.", r"model.conv\1_conv0."),
+    (r"^model\.conv(\d)\.1\.", r"model.conv\1_gn0."),
+    (r"^model\.conv(\d)\.3\.", r"model.conv\1_conv1."),
+    (r"^model\.conv(\d)\.4\.", r"model.conv\1_gn1."),
+    (r"^model\.conv(\d)\.6\.", r"model.conv\1_conv2."),
+    (r"^model\.conv(\d)\.7\.", r"model.conv\1_gn2."),
+    (r"^model\.mixer(\d)\.0\.", r"model.mixer\1_0."),
+    (r"^model\.mixer(\d)\.2\.", r"model.mixer\1_1."),
+]
+
+_DCAMA_SKIP = ("attn_mask", "relative_position_index", "feature_extractor.norm.",
+               "feature_extractor.head", "model.pe.")
+
+_DCAMA_LN2D = ()  # DCAMA has no LayerNorm2d; GroupNorm weight -> scale
+
+
+def convert_dcama_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a reference DCAMA (or bare Swin prefixed with
+    ``feature_extractor.``) state dict into our flax params fragment."""
+    tree: Dict[str, Any] = {}
+
+    def insert(parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        if any(s in key for s in _DCAMA_SKIP):
+            continue
+        value = np.asarray(value)
+        key = _apply_renames(key, _DCAMA_RENAMES)
+        parts = key.split(".")
+        if parts[-1] == "relative_position_bias_table":
+            insert(parts, value)
+        elif parts[-1] == "weight":
+            if value.ndim == 4:
+                insert(parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2:
+                insert(parts[:-1] + ["kernel"], value.T)
+            else:  # LayerNorm / GroupNorm -> flax 'scale'
+                insert(parts[:-1] + ["scale"], value)
+        else:
+            insert(parts, value)
+    return tree
+
+
 _HF_VIT_RENAMES: List[Tuple[str, str]] = [
     # HuggingFace ViTModel (MAE / in21k / DINO) -> StandardViT
     (r"^vit\.", ""),

@@ -90,6 +90,38 @@ def setup() -> None:
     tvt.functional = tvf
     tv.transforms = tvt
 
+    # timm shim (Swin backbone imports DropPath/to_2tuple/trunc_normal_)
+    timm = _stub("timm")
+    timm_models = _stub("timm.models")
+    timm_layers = _stub("timm.models.layers")
+
+    class _DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, std=1.0, **kw):
+        with torch.no_grad():
+            tensor.normal_(0, std)
+        return tensor
+
+    timm_layers.DropPath = _DropPath
+    timm_layers.to_2tuple = to_2tuple
+    timm_layers.trunc_normal_ = trunc_normal_
+    timm_models.layers = timm_layers
+    timm.models = timm_models
+
+    # torchvision.models.resnet namespace (unused for the swin path)
+    tvm = _stub("torchvision.models")
+    tvm_resnet = _stub("torchvision.models.resnet")
+    tvm.resnet = tvm_resnet
+    sys.modules["torchvision"].models = tvm
+
     # namespace-only packages: skip the heavy real __init__ modules
     for pkg, path in [
         ("label_anything", f"{REF}/label_anything"),
@@ -97,6 +129,7 @@ def setup() -> None:
         ("label_anything.data", f"{REF}/label_anything/data"),
         ("label_anything.utils", f"{REF}/label_anything/utils"),
         ("label_anything.loss", f"{REF}/label_anything/loss"),
+        ("label_anything.models.dcama", f"{REF}/label_anything/models/dcama"),
     ]:
         if pkg not in sys.modules:
             mod = types.ModuleType(pkg)

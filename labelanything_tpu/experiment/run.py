@@ -106,6 +106,9 @@ class Run:
             watch_metric=self.train_params.get("watch_metric", "miou"),
         )
         self.log_frequency = logger_params.get("log_frequency", 10)
+        self.image_log_frequency = logger_params.get(
+            "train_image_log_frequency", 0)
+        self.run_dir = run_dir
 
         # data
         self._build_dataloaders()
@@ -286,6 +289,13 @@ class Run:
                 )
                 tot_steps += 1
                 self.global_train_step += 1
+                if (self.image_log_frequency
+                        and tot_steps % self.image_log_frequency == 0):
+                    from ..utils.visualize import log_batch_images
+
+                    log_batch_images(self.run_dir,
+                                     f"train_e{epoch}_s{tot_steps}",
+                                     batch, preds, gts_np)
                 if tot_steps % self.log_frequency == 0:
                     with self.tracker.phase("train"):
                         self.tracker.log_metrics(

@@ -176,12 +176,40 @@ class Substitutor:
     model; call ``generate_new_points(logits, gt, key)`` between passes.
     """
 
-    def __init__(self, num_points: int = 1, substitute: bool = True):
+    def __init__(self, num_points: int = 1, substitute: bool = True,
+                 threshold: float = None):
         self.num_points = num_points
+        self.threshold = threshold
         self.substitute = substitute
         self.batch = None
         self.it = 0
         self._slot = 0
+
+    @staticmethod
+    def mean_pairwise_jaccard(example_classes) -> float:
+        """Mean pairwise Jaccard similarity of the episode's per-example
+        class sets. The reference gates substitution on an (undefined!)
+        ``mean_pairwise_j_index`` (substitution.py:148-156 — a latent
+        NameError whenever ``threshold`` is set); this is the sane
+        implementation of that intent."""
+        sets = [set(c) for c in example_classes]
+        if len(sets) < 2:
+            return 1.0
+        vals = []
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                union = sets[i] | sets[j]
+                vals.append(len(sets[i] & sets[j]) / len(union) if union else 1.0)
+        return sum(vals) / len(vals)
+
+    def calculate_if_substitute(self, classes=None) -> bool:
+        """(reference: substitution.py:148-156)."""
+        if self.threshold is None or not classes:
+            return True
+        import numpy as np
+
+        return float(np.mean([self.mean_pairwise_jaccard(c)
+                              for c in classes])) > self.threshold
 
     def reset(self, batch: Dict[str, jax.Array]):
         self.batch = dict(batch)

@@ -50,8 +50,12 @@ class MaskAggregationAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query: jax.Array, key: jax.Array, mask_values: jax.Array):
-        """query: (B, Q, D); key: (B, K, D); mask_values: (B, K)."""
+    def __call__(self, query: jax.Array, key: jax.Array, mask_values: jax.Array,
+                 key_valid: Optional[jax.Array] = None):
+        """query: (B, Q, D); key: (B, K, D); mask_values: (B, K);
+        key_valid: optional (B, K) validity — invalid keys get the
+        reference's masked_fill(-1e9) treatment (dcama/transformer.py:70-71),
+        used to drop padded shots in n-shot episodes."""
         b, qn, _ = query.shape
         hd = self.d_model // self.num_heads
         q = nn.Dense(self.d_model, dtype=self.dtype, name="q")(query)
@@ -60,6 +64,8 @@ class MaskAggregationAttention(nn.Module):
         k = k.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                           preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if key_valid is not None:
+            attn = jnp.where(key_valid[:, None, None, :] > 0, attn, -1e9)
         p = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bk->bhq", p, mask_values.astype(p.dtype))
         return out.mean(axis=1)  # (B, Q)
@@ -107,9 +113,19 @@ class DCAMAModel(nn.Module):
 
     @nn.compact
     def __call__(self, query_feats: List[jax.Array],
-                 support_feats: List[jax.Array], support_mask: jax.Array):
-        """feats: per-block (B, H_s, W_s, C_s) lists; support_mask (B, Hm, Wm)
-        binary."""
+                 support_feats: List[jax.Array], support_mask: jax.Array,
+                 shot_flags: Optional[jax.Array] = None):
+        """query_feats: per-block (B, H_s, W_s, C_s); support_feats: per-block
+        (B, M, H_s, W_s, C_s) with a shot axis; support_mask (B, M, Hm, Wm)
+        binary; shot_flags optional (B, M) validity for padded shots.
+
+        n-shot semantics follow the reference (dcama/dcama.py:190-245):
+        support pixels of all shots are CONCATENATED along the attention key
+        axis (each shot re-tagged with the same positional encoding), and the
+        skip-connection support features are max-pooled over shots —
+        attention is nonlinear in its keys, so shot-averaging (round 1's
+        shortcut) does not match. 1-shot reduces to the plain formulation.
+        """
         s0, s1, s2, s3 = self.stack_ids
         blocks = [
             MaskAggregationAttention(d_model=self.in_channels[level + 1],
@@ -117,17 +133,34 @@ class DCAMAModel(nn.Module):
                                      name=f"dcama_block_{level}")
             for level in range(3)
         ]
+        m = support_feats[0].shape[1]
+        if shot_flags is None:
+            shot_flags = jnp.ones(support_mask.shape[:2], jnp.float32)
+
+        def _masked_shot_max(sf):
+            """(B, M, h, w, ch) -> (B, h, w, ch): max over flagged shots
+            (reference: dcama/dcama.py:236-243 stack(...).max(dim=0))."""
+            fl = shot_flags[:, :, None, None, None] > 0
+            mx = jnp.max(jnp.where(fl, sf, _NEG_INF), axis=1)
+            return jnp.where(jnp.isfinite(mx), mx, 0.0)
+
         coarse: List[jax.Array] = []
         for idx in range(s0, s3):
             qf = query_feats[idx]
             sf = support_feats[idx]
             b, ha, wa, ch = qf.shape
-            mask = _resize_ac(support_mask[..., None].astype(jnp.float32),
-                              (ha, wa))[..., 0].reshape(b, -1)
+            # per-shot mask resize, then concat shots along the key axis
+            mask = _resize_ac(
+                support_mask.reshape(b * m, *support_mask.shape[2:])[..., None]
+                .astype(jnp.float32), (ha, wa),
+            )[..., 0].reshape(b, m * ha * wa)
             level = 0 if idx < s1 else (1 if idx < s2 else 2)
             pe = jnp.asarray(_sine_pe(ha * wa, self.in_channels[level + 1]))
+            keys = sf.reshape(b, m, ha * wa, ch) + pe[None, None]
+            key_valid = jnp.repeat(shot_flags, ha * wa, axis=1)  # (B, M*hw)
             out = blocks[level](qf.reshape(b, -1, ch) + pe[None],
-                                sf.reshape(b, -1, ch) + pe[None], mask)
+                                keys.reshape(b, m * ha * wa, ch), mask,
+                                key_valid)
             coarse.append(out.reshape(b, ha, wa, 1))
 
         outch1, outch2, outch3 = 16, 64, 128
@@ -148,12 +181,14 @@ class DCAMAModel(nn.Module):
         mix = _conv_block(mix, (outch3, outch3, outch3), (3, 3, 3),
                           self.dtype, "conv5")
 
-        # skip connections at 1/8 and 1/4
+        # skip connections at 1/8 and 1/4 (support side max-pooled over shots)
         mix = jnp.concatenate(
-            [mix, query_feats[s1 - 1], support_feats[s1 - 1]], axis=-1)
+            [mix, query_feats[s1 - 1], _masked_shot_max(support_feats[s1 - 1])],
+            axis=-1)
         mix = _resize_ac(mix, (mix.shape[1] * 2, mix.shape[2] * 2))
         mix = jnp.concatenate(
-            [mix, query_feats[s0 - 1], support_feats[s0 - 1]], axis=-1)
+            [mix, query_feats[s0 - 1], _masked_shot_max(support_feats[s0 - 1])],
+            axis=-1)
 
         out = nn.relu(nn.Conv(outch3, (3, 3), padding="SAME", dtype=self.dtype,
                               name="mixer1_0")(mix))
@@ -202,20 +237,23 @@ class DCAMAMultiClass(nn.Module):
                              for f in feats]
 
         prompt_masks = batch[BatchKeys.PROMPT_MASKS]  # (B, M, C, Hm, Wm)
+        flag = batch[BatchKeys.FLAG_EXAMPLES].astype(jnp.float32)  # (B, M, C)
+        if prompt_masks.shape[1] == n:
+            # pre-substitutor full batch: slot 0 is the query's own annotation
+            prompt_masks = prompt_masks[:, 1:]
+            flag = flag[:, 1:]
         m, c = prompt_masks.shape[1:3]
-        flag = batch[BatchKeys.FLAG_EXAMPLES].astype(jnp.float32)  # (B, N|M, C)
-        flag = flag[:, :m]
+        assert m == n - 1, (
+            f"prompt masks ({m} shots) misaligned with images ({n - 1} supports)")
 
         per_class = []
         for ci in range(1, c):
-            # n-shot: average support feats/masks over flagged examples
-            w = flag[:, :, ci][:, :, None, None, None]
-            denom = jnp.maximum(w.sum(axis=1), 1e-6)
-            sfeats = [
-                (sf[:, :m] * w).sum(axis=1) / denom for sf in support_feats_all
-            ]
-            smask = (prompt_masks[:, :, ci] * w[..., 0]).sum(axis=1) / denom[..., 0]
-            logits = head(query_feats, sfeats, smask)  # (B, h, w, 2)
+            # n-shot: all shots ride the attention key axis; padded shots are
+            # dropped via the per-class flags (reference gathers flagged
+            # examples before predict_mask_nshot, dcama/__init__.py:88-97)
+            sfeats = [sf[:, :m] for sf in support_feats_all]
+            logits = head(query_feats, sfeats, prompt_masks[:, :, ci],
+                          flag[:, :, ci])  # (B, h, w, 2)
             per_class.append(logits.transpose(0, 3, 1, 2))
         logits = jnp.stack(per_class, axis=1)  # (B, C-1, 2, h, w)
         fg = logits[:, :, 1]

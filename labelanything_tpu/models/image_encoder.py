@@ -141,7 +141,8 @@ class ViTAttention(nn.Module):
         from ..ops.attention import _on_tpu
         from ..ops.flash_attention import _BLOCK_Q, flash_attention_relpos
 
-        kernel_ok = hw % _BLOCK_Q == 0 or hw <= _BLOCK_Q
+        # _pick_block_q handles any hw divisible by 128 (or a single block)
+        kernel_ok = hw % 128 == 0 or hw <= _BLOCK_Q
         if _on_tpu() and kernel_ok:
             # fused Pallas kernel: bias reconstructed per VMEM tile, no
             # quadratic HBM buffers (see ops/flash_attention.py)

@@ -34,6 +34,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_Q = 256
 
+# Toggled by tests to run the kernels in Pallas interpret mode on CPU, so the
+# grid/block logic is covered without TPU hardware.
+_INTERPRET = False
+
+
+def _pick_block_q(q_len: int) -> int:
+    """Largest q-block (multiple of the 128-row MXU tile) dividing q_len.
+
+    The grid is ``q_len // block_q`` with no tail masking, so block_q MUST
+    divide q_len (round 1 silently left the tail rows unwritten for q_len
+    divisible by 128 but not 256, e.g. 1152). Callers gate on
+    ``q_len % 128 == 0``; short sequences run as one block."""
+    if q_len <= _BLOCK_Q:
+        return q_len
+    for cand in (_BLOCK_Q, 128):
+        if q_len % cand == 0:
+            return cand
+    raise ValueError(f"flash attention requires q_len % 128 == 0, got {q_len}")
+
 
 # --------------------------------------------------------------------- #
 # plain attention
@@ -68,7 +87,8 @@ def _flash_fwd_impl(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> j
     k3 = k.reshape(bh, k_len, d)
     v3 = v.reshape(bh, k_len, d)
 
-    block_q = min(_BLOCK_Q, q_len)
+    block_q = _pick_block_q(q_len)
+    assert q_len % block_q == 0, (q_len, block_q)
     grid = (bh, q_len // block_q)
 
     out = pl.pallas_call(
@@ -88,6 +108,7 @@ def _flash_fwd_impl(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> j
             bytes_accessed=(q3.size + k3.size + v3.size + bh * q_len * d) * q.dtype.itemsize,
             transcendentals=bh * q_len * k_len,
         ),
+        interpret=_INTERPRET,
     )(q3, k3, v3)
     return out.reshape(b, h, q_len, d)
 
@@ -167,7 +188,8 @@ def _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale: float,
     bh, q_len, d = q.shape
     kh, kw = grid_hw
     k_len = kh * kw
-    block_q = min(_BLOCK_Q, q_len)
+    block_q = _pick_block_q(q_len)
+    assert q_len % block_q == 0, (q_len, block_q)
     grid = (bh, q_len // block_q)
 
     return pl.pallas_call(
@@ -190,6 +212,7 @@ def _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale: float,
             * q.dtype.itemsize,
             transcendentals=bh * q_len * k_len,
         ),
+        interpret=_INTERPRET,
     )(q, k, v, rel_h, rel_w)
 
 

@@ -40,14 +40,24 @@ class CheckpointManager:
         return json.loads(p.read_text()) if p.exists() else {}
 
     def _save(self, tag: str, state: TrainState, meta: Dict[str, Any]):
-        path = (self.dir / tag).resolve()
-        if path.exists():
-            import shutil
+        """Crash-safe save: write to a temp sibling, then swap in. The old
+        checkpoint survives until the new one is fully on disk (a crash
+        mid-save must not destroy the only resume point)."""
+        import os
+        import shutil
 
-            shutil.rmtree(path)
-        self._ckpt.save(path, dict(state._asdict()))
+        path = (self.dir / tag).resolve()
+        tmp = (self.dir / f"{tag}.tmp").resolve()
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, dict(state._asdict()))
         self._ckpt.wait_until_finished()
-        self._meta_path(tag).write_text(json.dumps(meta))
+        tmp_meta = self.dir / f"{tag}.meta.json.tmp"
+        tmp_meta.write_text(json.dumps(meta))
+        if path.exists():
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        os.replace(tmp_meta, self._meta_path(tag))
 
     def save_latest(self, state: TrainState, epoch: int, **meta):
         self._save("latest", state, {"epoch": epoch, **meta})
@@ -67,7 +77,16 @@ class CheckpointManager:
 
     def restore(self, state_template: TrainState, tag: str = "latest"):
         """Restore a TrainState (returns (state, meta) or (None, {}))."""
+        import os
+
         path = (self.dir / tag).resolve()
+        tmp = (self.dir / f"{tag}.tmp").resolve()
+        if not path.exists() and tmp.exists():
+            # crashed between swap steps in _save: the temp save is complete
+            os.rename(tmp, path)
+            tmp_meta = self.dir / f"{tag}.meta.json.tmp"
+            if tmp_meta.exists():
+                os.replace(tmp_meta, self._meta_path(tag))
         if not path.exists():
             return None, {}
         restored = self._ckpt.restore(path, dict(state_template._asdict()))

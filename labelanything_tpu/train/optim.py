@@ -93,9 +93,13 @@ def build_optimizer(
                 lambda step: schedule(step) * lr_scale, weight_decay=weight_decay
             )
         elif name.lower() == "sgd":
+            # torch-SGD L2 semantics: decay enters the (momentum) update
+            # BEFORE the lr scale — d_p = grad + wd*p (torch sgd docs) — so
+            # the effective decay tracks the schedule, unlike decoupled
+            # decay appended after the transform.
             core = optax.chain(
+                optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
                 optax.sgd(lambda step: schedule(step) * lr_scale, momentum=momentum),
-                optax.add_decayed_weights(-weight_decay) if weight_decay else optax.identity(),
             )
         else:
             raise ValueError(f"Unknown optimizer {name!r}")

@@ -194,8 +194,10 @@ def merge_into_params(params: Dict[str, Any], converted: Dict[str, Any],
     fmt = lambda s: sorted("/".join(p) for p in s)[:12]
     # Unexpected source keys are normal: flax materializes parameters only
     # for modules the traced config actually calls, while torch state dicts
-    # always carry every registered module. Missing targets are an error.
-    if missing and (strict or True):
+    # always carry every registered module. Missing targets are an error
+    # unless strict=False, which keeps the initialized values for them
+    # (partial loads, e.g. an encoder-only checkpoint into a full model).
+    if missing and strict:
         raise ValueError(f"state dict missing parameters: {fmt(missing)}")
     if strict and unexpected:
         import warnings

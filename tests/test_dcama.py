@@ -107,3 +107,47 @@ def test_dcama_multiclass_forward():
     logits = np.asarray(out[ResultDict.LOGITS])
     assert logits.shape == (1, 3, img, img)
     assert np.isfinite(logits).any()
+
+
+def test_dcama_head_nshot_parity():
+    """2-shot head parity vs the reference DCAMA_model: shots must ride the
+    attention KEY axis (not be averaged) and skip features max over shots
+    (reference: dcama/dcama.py:190-245). bsz=1 because the reference's
+    (nshot*bsz) -> (bsz, nshot*hw) view scrambles shots for bsz>1 and its
+    wrapper asserts batch size 1."""
+    from labelanything_tpu.models.dcama import DCAMAModel
+    from labelanything_tpu.utils.torch_import import convert_dcama_state_dict
+
+    ref_dcama_mod = load("label_anything.models.dcama.dcama")
+    in_ch = (16, 32, 64, 128)
+    stack_ids = (1, 3, 5, 6)
+    torch.manual_seed(2)
+    ref = ref_dcama_mod.DCAMA_model(list(in_ch), torch.tensor(stack_ids)).eval()
+    ours = DCAMAModel(in_channels=in_ch, stack_ids=stack_ids)
+
+    rng = np.random.default_rng(2)
+    b, shots = 1, 2
+    # block -> (stage channels, spatial): img 64 -> 1/4..1/32
+    shapes = [(16, 16, 16), (32, 8, 8), (32, 8, 8), (64, 4, 4), (64, 4, 4),
+              (128, 2, 2)]
+    qf_t = [torch.from_numpy(rng.standard_normal((b, c, h, w)).astype(np.float32))
+            for c, h, w in shapes]
+    sf_t = [[torch.from_numpy(rng.standard_normal((b, c, h, w)).astype(np.float32))
+             for c, h, w in shapes] for _ in range(shots)]
+    mask_np = rng.integers(0, 2, (b, shots, 64, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref(qf_t, sf_t, torch.from_numpy(mask_np), nshot=shots)
+
+    qf_j = [jnp.asarray(t.numpy().transpose(0, 2, 3, 1)) for t in qf_t]
+    sf_j = [jnp.stack([sf_t[k][i].numpy().transpose(0, 2, 3, 1)
+                       for k in range(shots)], axis=1)
+            for i in range(len(shapes))]
+    mask_j = jnp.asarray(mask_np)
+    params = ours.init(jax.random.key(0), qf_j, sf_j, mask_j)
+    sd = {f"model.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    converted = convert_dcama_state_dict(sd)["model"]
+    params = merge_into_params(params, converted)
+    out = np.asarray(ours.apply(params, qf_j, sf_j, mask_j))
+    np.testing.assert_allclose(out.transpose(0, 3, 1, 2), out_ref.numpy(),
+                               rtol=2e-3, atol=2e-4)

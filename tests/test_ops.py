@@ -60,3 +60,46 @@ def test_adaptive_avg_pool_matches_torch(in_hw, out_hw):
         torch.from_numpy(x), out_hw
     ).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("q_len", [64, 1152, 512])
+def test_flash_attention_interpret_matches_xla(q_len):
+    """Kernel grid/block logic incl. the q_len % 256 != 0 tail (e.g. 1152),
+    run in Pallas interpret mode on CPU."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(5)
+    shape = (1, 2, q_len, 32)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+               for _ in range(3))
+    old = fa._INTERPRET
+    fa._INTERPRET = True
+    try:
+        out = fa.flash_attention(q, k, v, 32 ** -0.5)
+    finally:
+        fa._INTERPRET = old
+    ref = fa._xla_ref(q, k, v, 32 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("grid_hw", [(8, 8), (24, 16)])
+def test_flash_relpos_interpret_matches_xla(grid_hw):
+    from labelanything_tpu.ops import flash_attention as fa
+
+    kh, kw = grid_hw
+    hw, d, bh = kh * kw, 32, 2
+    rng = np.random.default_rng(6)
+    q, k, v = (jnp.asarray(rng.standard_normal((bh, hw, d)).astype(np.float32))
+               for _ in range(3))
+    rel_h = jnp.asarray(rng.standard_normal((bh, hw, kh)).astype(np.float32))
+    rel_w = jnp.asarray(rng.standard_normal((bh, hw, kw)).astype(np.float32))
+    old = fa._INTERPRET
+    fa._INTERPRET = True
+    try:
+        out = fa.flash_attention_relpos(q, k, v, rel_h, rel_w, d ** -0.5, grid_hw)
+    finally:
+        fa._INTERPRET = old
+    ref = fa._relpos_xla_ref(q, k, v, rel_h, rel_w, d ** -0.5, grid_hw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

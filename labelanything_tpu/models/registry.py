@@ -51,7 +51,7 @@ model_registry = {
     "sam_l": None,
     "sam_b": None,
     "asam_b": None,
-    "fptrans": _not_ported("fptrans"),
+    "fptrans": None,  # populated below
     "ppnet": _not_ported("ppnet"),
     "denet": _not_ported("denet"),
     **ENCODERS,
@@ -63,10 +63,12 @@ def _register_sam():
                       build_sam_vit_l)
 
     from .dcama import build_dcama
+    from .fptrans import build_fptrans
     from .panet import build_panet
 
     model_registry.update({
         "dcama": build_dcama,
+        "fptrans": build_fptrans,
         "sam": build_sam_vit_h,
         "sam_h": build_sam_vit_h,
         "sam_l": build_sam_vit_l,

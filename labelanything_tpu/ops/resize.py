@@ -59,3 +59,35 @@ def adaptive_avg_pool(x: jax.Array, out_hw: Sequence[int]) -> jax.Array:
     x = jnp.einsum("...hw,ow->...ho", x, pw)
     # note: second einsum output axes are (..., oh, ow)
     return x
+
+
+def resize_bilinear_ac(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Bilinear ``align_corners=True`` resize on channels-last (B, H, W, C)
+    (torch ``F.interpolate(..., align_corners=True)`` — used by the DCAMA and
+    FPTrans baselines throughout)."""
+    b, h, w, c = x.shape
+    nh, nw = int(size[0]), int(size[1])
+    ys = jnp.linspace(0.0, h - 1.0, nh) if nh > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(0.0, w - 1.0, nw) if nw > 1 else jnp.zeros((1,))
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_nearest_torch(x: jax.Array, size: Sequence[int],
+                         spatial_axes=(-2, -1)) -> jax.Array:
+    """torch legacy ``mode='nearest'`` semantics: src = floor(dst * in/out)
+    (differs from jax.image.resize's round-half-pixel rule by one source
+    pixel on exact ties)."""
+    axes = sorted(a % x.ndim for a in spatial_axes)
+    for axis, n_out in zip(axes, size):
+        n_in = x.shape[axis]
+        idx = (jnp.arange(int(n_out)) * n_in) // int(n_out)
+        x = jnp.take(x, idx, axis=axis)
+    return x

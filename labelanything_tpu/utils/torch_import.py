@@ -284,6 +284,53 @@ def convert_dcama_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any
     return tree
 
 
+_FPTRANS_RENAMES: List[Tuple[str, str]] = [
+    # FPTrans (reference: models/fptrans/FPTrans.py, vit.py). The trainable
+    # encoder is wrapped in nn.Sequential(OrderedDict([('backbone', vit)])).
+    (r"^encoder\.backbone\.", "encoder."),
+    (r"(^|\.)patch_embed\.proj\.", r"\1patch_embed."),
+    (r"(^|\.)blocks\.(\d+)\.", r"\1blocks_\2."),
+    (r"(^|\.)purifier\.layers\.(\d+)\.", r"\1purifier.layers_\2."),
+]
+
+_FPTRANS_LEAVES = ("cls_token", "pos_embed", "prompt_tokens")
+
+
+def convert_fptrans_state_dict(state_dict: Dict[str, np.ndarray],
+                               prefix: str = "") -> Dict[str, Any]:
+    """Convert a reference FPTrans checkpoint (timm-ViT encoder + frozen
+    original_encoder + purifier + prompt bank) into our flax params fragment.
+    ``prefix`` (e.g. "fptrans.") is prepended to target keys for the
+    FPTransMultiClass wrapper's submodule scope."""
+    tree: Dict[str, Any] = {}
+
+    def insert(parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        if "head." in key or ".pre_logits." in key:
+            continue
+        value = np.asarray(value)
+        key = prefix + _apply_renames(key, _FPTRANS_RENAMES)
+        parts = key.split(".")
+        if parts[-1] in _FPTRANS_LEAVES:
+            insert(parts, value)
+        elif parts[-1] == "weight":
+            if value.ndim == 4:
+                # conv & convT share the permutation (transpose_kernel=True)
+                insert(parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2:
+                insert(parts[:-1] + ["kernel"], value.T)
+            else:  # LayerNorm
+                insert(parts[:-1] + ["scale"], value)
+        else:
+            insert(parts, value)
+    return tree
+
+
 _HF_VIT_RENAMES: List[Tuple[str, str]] = [
     # HuggingFace ViTModel (MAE / in21k / DINO) -> StandardViT
     (r"^vit\.", ""),

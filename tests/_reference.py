@@ -122,6 +122,18 @@ def setup() -> None:
     tvm.resnet = tvm_resnet
     sys.modules["torchvision"].models = tvm
 
+    # dropblock shim (FPTrans imports DropBlock2D; drop_dim=1 never uses it)
+    dropblock = _stub("dropblock")
+    if not hasattr(dropblock, "DropBlock2D"):
+        class _DropBlock2D(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        dropblock.DropBlock2D = _DropBlock2D
+
     # namespace-only packages: skip the heavy real __init__ modules
     for pkg, path in [
         ("label_anything", f"{REF}/label_anything"),
@@ -130,6 +142,13 @@ def setup() -> None:
         ("label_anything.utils", f"{REF}/label_anything/utils"),
         ("label_anything.loss", f"{REF}/label_anything/loss"),
         ("label_anything.models.dcama", f"{REF}/label_anything/models/dcama"),
+        ("label_anything.models.fptrans", f"{REF}/label_anything/models/fptrans"),
+        ("label_anything.models.fptrans.utils_",
+         f"{REF}/label_anything/models/fptrans/utils_"),
+        ("label_anything.models.ppnet", f"{REF}/label_anything/models/ppnet"),
+        ("label_anything.models.denet", f"{REF}/label_anything/models/denet"),
+        ("label_anything.models.bam", f"{REF}/label_anything/models/bam"),
+        ("label_anything.models.hdmnet", f"{REF}/label_anything/models/hdmnet"),
     ]:
         if pkg not in sys.modules:
             mod = types.ModuleType(pkg)

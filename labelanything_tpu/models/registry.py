@@ -52,7 +52,7 @@ model_registry = {
     "sam_b": None,
     "asam_b": None,
     "fptrans": None,  # populated below
-    "ppnet": _not_ported("ppnet"),
+    "ppnet": None,
     "denet": _not_ported("denet"),
     **ENCODERS,
 }
@@ -65,10 +65,12 @@ def _register_sam():
     from .dcama import build_dcama
     from .fptrans import build_fptrans
     from .panet import build_panet
+    from .ppnet import build_ppnet
 
     model_registry.update({
         "dcama": build_dcama,
         "fptrans": build_fptrans,
+        "ppnet": build_ppnet,
         "sam": build_sam_vit_h,
         "sam_h": build_sam_vit_h,
         "sam_l": build_sam_vit_l,

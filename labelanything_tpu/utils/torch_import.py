@@ -331,6 +331,70 @@ def convert_fptrans_state_dict(state_dict: Dict[str, np.ndarray],
     return tree
 
 
+_PPNET_RENAMES: List[Tuple[str, str]] = [
+    # PPNet dilated ResNet-50 (reference: models/ppnet/ResNetBackbone.py)
+    (r"^module\.", ""),
+    (r"(^|\.)layer(\d)\.(\d+)\.", r"\1layer\2_\3."),
+    (r"\.downsample\.0\.", ".downsample_conv."),
+    (r"\.downsample\.1\.", ".downsample_bn."),
+]
+
+_PPNET_SKIP = ("num_batches_tracked", "aspp.", ".sem")
+
+
+def convert_ppnet_state_dict(state_dict: Dict[str, np.ndarray],
+                             prefix: str = "") -> Dict[str, Any]:
+    """Convert a reference PPNet checkpoint (dilated ResNet-50 + BatchNorm
+    running stats) into flax variable collections
+    ``{"params": ..., "batch_stats": ...}``. ``prefix`` (e.g. "ppnet.")
+    scopes target keys under the PPNetMultiClass wrapper."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def insert(tree, parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        if any(s in key for s in _PPNET_SKIP):
+            continue
+        value = np.asarray(value)
+        key = prefix + _apply_renames(key, _PPNET_RENAMES)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "running_mean":
+            insert(stats, parts[:-1] + ["mean"], value)
+        elif leaf == "running_var":
+            insert(stats, parts[:-1] + ["var"], value)
+        elif leaf == "weight":
+            if value.ndim == 4:
+                insert(params, parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2:
+                insert(params, parts[:-1] + ["kernel"], value.T)
+            else:  # BatchNorm affine weight
+                insert(params, parts[:-1] + ["scale"], value)
+        else:
+            insert(params, parts, value)
+    return {"params": params, "batch_stats": stats}
+
+
+def merge_into_variables(variables: Dict[str, Any],
+                         converted: Dict[str, Any],
+                         strict: bool = True) -> Dict[str, Any]:
+    """merge_into_params across multiple flax collections (params,
+    batch_stats, ...). ``converted`` maps collection name -> tree fragment."""
+    out = dict(variables)
+    for coll, frag in converted.items():
+        if not frag:
+            continue
+        merged = merge_into_params({"params": variables[coll]}, frag,
+                                   strict=strict)
+        out[coll] = merged["params"]
+    return out
+
+
 _HF_VIT_RENAMES: List[Tuple[str, str]] = [
     # HuggingFace ViTModel (MAE / in21k / DINO) -> StandardViT
     (r"^vit\.", ""),

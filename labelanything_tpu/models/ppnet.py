@@ -106,6 +106,9 @@ class ResNetSem(nn.Module):
     feature map (B, H/8, W/8, 2048)."""
 
     layers: Sequence[int] = (3, 4, 6, 3)
+    out_layer: str = "layer4"        # stop early for heads that use layer3
+    quirk_last_relu: bool = True     # PPNet's no-ReLU-on-last-layer4-block;
+    #                                  False = standard torchvision resnet
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,7 +133,8 @@ class ResNetSem(nn.Module):
                 # the reference's lastRelu flag only reaches blocks b_id >= 1
                 # (ResNetBackbone.py:288-297), so a single-block layer4
                 # keeps its ReLU
-                last = name == "layer4" and bi == n_blocks - 1 and bi > 0
+                last = (self.quirk_last_relu and name == "layer4"
+                        and bi == n_blocks - 1 and bi > 0)
                 x = Bottleneck(
                     planes=planes,
                     stride=stride if bi == 0 else 1,
@@ -140,6 +144,8 @@ class ResNetSem(nn.Module):
                     dtype=self.dtype,
                     name=f"{name}_{bi}",
                 )(x)
+            if name == self.out_layer:
+                return x
         return x
 
 

@@ -53,7 +53,7 @@ model_registry = {
     "asam_b": None,
     "fptrans": None,  # populated below
     "ppnet": None,
-    "denet": _not_ported("denet"),
+    "denet": None,
     **ENCODERS,
 }
 
@@ -65,12 +65,14 @@ def _register_sam():
     from .dcama import build_dcama
     from .fptrans import build_fptrans
     from .panet import build_panet
+    from .denet import build_denet
     from .ppnet import build_ppnet
 
     model_registry.update({
         "dcama": build_dcama,
         "fptrans": build_fptrans,
         "ppnet": build_ppnet,
+        "denet": build_denet,
         "sam": build_sam_vit_h,
         "sam_h": build_sam_vit_h,
         "sam_l": build_sam_vit_l,

@@ -395,6 +395,66 @@ def merge_into_variables(variables: Dict[str, Any],
     return out
 
 
+_DENET_RENAMES: List[Tuple[str, str]] = [
+    # DENet (reference: models/denet/ — head/denet.py, common.py)
+    (r"^module\.", ""),
+    (r"^estimator\.gam\.gate\.0\.", "denet#gam.gate_0."),
+    (r"^estimator\.gam\.gate\.2\.", "denet#gam.gate_2."),
+    (r"^estimator\.map\.linear\.", "denet#map.linear."),
+    (r"^estimator\.weight$", "denet#weight"),
+    (r"^embedding\.0\.", "denet#embedding_0."),
+    (r"^deeplab_head\.aspp\.convs\.4\.1\.", "denet#deeplab_head.aspp.convs_4."),
+    (r"^deeplab_head\.aspp\.convs\.(\d)\.0\.", r"denet#deeplab_head.aspp.convs_\1."),
+    (r"^deeplab_head\.aspp\.project\.0\.", "denet#deeplab_head.aspp.project."),
+    (r"^deeplab_head\.", "denet#deeplab_head."),
+    (r"^backbone\.", "denet#backbone."),
+    (r"(^|\.)layer(\d)\.(\d+)\.", r"\1layer\2_\3."),
+    (r"\.downsample\.0\.", ".downsample_conv."),
+    (r"\.downsample\.1\.", ".downsample_bn."),
+]
+
+
+def convert_denet_state_dict(state_dict: Dict[str, np.ndarray],
+                             scope: str = "denet.") -> Dict[str, Any]:
+    """Convert a reference DENet checkpoint into flax variable collections
+    ``{"params": ..., "batch_stats": ...}``. ``scope`` replaces the marker
+    prefix (default places everything under the DENetMultiClass wrapper's
+    "denet" submodule; pass "" for a bare DENet module)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def insert(tree, parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        if "num_batches_tracked" in key:
+            continue
+        value = np.asarray(value)
+        key = _apply_renames(key, _DENET_RENAMES).replace("denet#", scope)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "running_mean":
+            insert(stats, parts[:-1] + ["mean"], value)
+        elif leaf == "running_var":
+            insert(stats, parts[:-1] + ["var"], value)
+        elif leaf == "weight" and len(parts) >= 2 and parts[-2] != "weight":
+            if value.ndim == 4:
+                insert(params, parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2 and not key.endswith(scope + "weight"):
+                insert(params, parts[:-1] + ["kernel"], value.T)
+            else:  # BatchNorm affine or the class weight bank leaf
+                if value.ndim == 1:
+                    insert(params, parts[:-1] + ["scale"], value)
+                else:
+                    insert(params, parts, value)
+        else:
+            insert(params, parts, value)
+    return {"params": params, "batch_stats": stats}
+
+
 _HF_VIT_RENAMES: List[Tuple[str, str]] = [
     # HuggingFace ViTModel (MAE / in21k / DINO) -> StandardViT
     (r"^vit\.", ""),

@@ -116,10 +116,22 @@ def setup() -> None:
     timm_models.layers = timm_layers
     timm.models = timm_models
 
-    # torchvision.models.resnet namespace (unused for the swin path)
+    # torchvision.models namespaces: the vendored baselines import model
+    # constructors at module load; the constructors themselves are only
+    # called for pretrained downloads, which tests monkeypatch away.
+    def _no_download(*a, **k):
+        raise RuntimeError("torchvision model zoo is stubbed in tests")
+
     tvm = _stub("torchvision.models")
     tvm_resnet = _stub("torchvision.models.resnet")
+    tvm_resnet.resnet50 = tvm_resnet.resnet101 = _no_download
+    tvm_vgg = _stub("torchvision.models.vgg")
+    tvm_vgg.vgg16 = tvm_vgg.vgg16_bn = _no_download
+    tvm_densenet = _stub("torchvision.models.densenet")
+    tvm_densenet.densenet121 = _no_download
     tvm.resnet = tvm_resnet
+    tvm.vgg = tvm_vgg
+    tvm.densenet = tvm_densenet
     sys.modules["torchvision"].models = tvm
 
     # dropblock shim (FPTrans imports DropBlock2D; drop_dim=1 never uses it)
@@ -147,6 +159,10 @@ def setup() -> None:
          f"{REF}/label_anything/models/fptrans/utils_"),
         ("label_anything.models.ppnet", f"{REF}/label_anything/models/ppnet"),
         ("label_anything.models.denet", f"{REF}/label_anything/models/denet"),
+        ("label_anything.models.denet.head",
+         f"{REF}/label_anything/models/denet/head"),
+        # NOTE: denet.backbone is NOT namespace-stubbed — its real __init__
+        # defines get_backbone and imports only the stubbed torchvision names
         ("label_anything.models.bam", f"{REF}/label_anything/models/bam"),
         ("label_anything.models.hdmnet", f"{REF}/label_anything/models/hdmnet"),
     ]:

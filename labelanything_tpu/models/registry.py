@@ -54,6 +54,8 @@ model_registry = {
     "fptrans": None,  # populated below
     "ppnet": None,
     "denet": None,
+    "bam": None,
+    "hdmnet": _not_ported("hdmnet"),
     **ENCODERS,
 }
 
@@ -65,6 +67,7 @@ def _register_sam():
     from .dcama import build_dcama
     from .fptrans import build_fptrans
     from .panet import build_panet
+    from .bam import build_bam
     from .denet import build_denet
     from .ppnet import build_ppnet
 
@@ -73,6 +76,7 @@ def _register_sam():
         "fptrans": build_fptrans,
         "ppnet": build_ppnet,
         "denet": build_denet,
+        "bam": build_bam,
         "sam": build_sam_vit_h,
         "sam_h": build_sam_vit_h,
         "sam_l": build_sam_vit_l,

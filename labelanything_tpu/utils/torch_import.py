@@ -455,6 +455,69 @@ def convert_denet_state_dict(state_dict: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
+_BAM_RENAMES: List[Tuple[str, str]] = [
+    # BAM (reference: models/bam/ — BAM.py OneModel + PSPNet pieces)
+    (r"^module\.", ""),
+    (r"^layer0\.(\d)\.", r"bam#backbone.layer0_\1."),
+    (r"^layer([1-4])\.(\d+)\.", r"bam#backbone.layer\1_\2."),
+    (r"\.downsample\.0\.", ".downsample_conv."),
+    (r"\.downsample\.1\.", ".downsample_bn."),
+    (r"^learner_base\.0\.features\.(\d)\.1\.", r"bam#ppm.features_\1_conv."),
+    (r"^learner_base\.0\.features\.(\d)\.2\.", r"bam#ppm.features_\1_bn."),
+    (r"^learner_base\.1\.0\.", "bam#base_cls_0."),
+    (r"^learner_base\.1\.1\.", "bam#base_cls_1."),
+    (r"^learner_base\.1\.4\.", "bam#base_cls_4."),
+    (r"^down_query\.0\.", "bam#down_query_0."),
+    (r"^down_supp\.0\.", "bam#down_supp_0."),
+    (r"^init_merge\.0\.", "bam#init_merge_0."),
+    (r"^ASPP_meta\.layer6_(\d)\.0\.", r"bam#ASPP_meta.layer6_\1."),
+    (r"^res1_meta\.0\.", "bam#res1_meta_0."),
+    (r"^res2_meta\.(\d)\.", r"bam#res2_meta_\1."),
+    (r"^cls_meta\.(\d)\.", r"bam#cls_meta_\1."),
+    (r"^gram_merge\.", "bam#gram_merge."),
+    (r"^cls_merge\.", "bam#cls_merge."),
+    (r"^kshot_rw\.(\d)\.", r"bam#kshot_rw_\1."),
+]
+
+
+def convert_bam_state_dict(state_dict: Dict[str, np.ndarray],
+                           scope: str = "bam.") -> Dict[str, Any]:
+    """Convert a reference BAM checkpoint (incl. the PSPNet base learner and
+    BatchNorm running stats) into flax variable collections. ``scope``
+    replaces the marker prefix (default: the BAMMultiClass wrapper's "bam"
+    submodule; pass "" for a bare BAM module)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def insert(tree, parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        if "num_batches_tracked" in key or key.startswith("criterion"):
+            continue
+        value = np.asarray(value)
+        key = _apply_renames(key, _BAM_RENAMES).replace("bam#", scope)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "running_mean":
+            insert(stats, parts[:-1] + ["mean"], value)
+        elif leaf == "running_var":
+            insert(stats, parts[:-1] + ["var"], value)
+        elif leaf == "weight":
+            if value.ndim == 4:
+                insert(params, parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2:
+                insert(params, parts[:-1] + ["kernel"], value.T)
+            else:  # BatchNorm affine
+                insert(params, parts[:-1] + ["scale"], value)
+        else:
+            insert(params, parts, value)
+    return {"params": params, "batch_stats": stats}
+
+
 _HF_VIT_RENAMES: List[Tuple[str, str]] = [
     # HuggingFace ViTModel (MAE / in21k / DINO) -> StandardViT
     (r"^vit\.", ""),

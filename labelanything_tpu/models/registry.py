@@ -55,7 +55,7 @@ model_registry = {
     "ppnet": None,
     "denet": None,
     "bam": None,
-    "hdmnet": _not_ported("hdmnet"),
+    "hdmnet": None,
     **ENCODERS,
 }
 
@@ -68,6 +68,7 @@ def _register_sam():
     from .fptrans import build_fptrans
     from .panet import build_panet
     from .bam import build_bam
+    from .hdmnet import build_hdmnet
     from .denet import build_denet
     from .ppnet import build_ppnet
 
@@ -77,6 +78,7 @@ def _register_sam():
         "ppnet": build_ppnet,
         "denet": build_denet,
         "bam": build_bam,
+        "hdmnet": build_hdmnet,
         "sam": build_sam_vit_h,
         "sam_h": build_sam_vit_h,
         "sam_l": build_sam_vit_l,

@@ -518,6 +518,112 @@ def convert_bam_state_dict(state_dict: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
+_HDMNET_ENC = [
+    # TransformerEncoderLayer internals (reference: hdmnet/transformer.py)
+    (r"\.attn\.attn\.linear_([qkvo])\.", r".attn.linear_\1."),
+    (r"\.attn\.sr\.", ".attn_sr."),
+    (r"\.attn\.norm\.", ".attn_norm."),
+    (r"\.ffn\.layers\.0\.", ".ffn.fc1."),
+    (r"\.ffn\.layers\.1\.", ".ffn.pe_conv."),
+    (r"\.ffn\.layers\.4\.", ".ffn.fc2."),
+]
+
+_HDMNET_RENAMES: List[Tuple[str, str]] = [
+    # HDMNet (reference: models/hdmnet/ — HDMNet.py + transformer.py)
+    (r"^module\.", ""),
+    (r"^layer0\.(\d)\.", r"hdm#backbone.layer0_\1."),
+    (r"^layer([1-4])\.(\d+)\.", r"hdm#backbone.layer\1_\2."),
+    (r"\.downsample\.0\.", ".downsample_conv."),
+    (r"\.downsample\.1\.", ".downsample_bn."),
+    (r"^ppm\.features\.(\d)\.1\.", r"hdm#ppm.features_\1_conv."),
+    (r"^ppm\.features\.(\d)\.2\.", r"hdm#ppm.features_\1_bn."),
+    (r"^cls\.0\.", "hdm#cls_0."),
+    (r"^cls\.1\.", "hdm#cls_1."),
+    (r"^base_learnear\.2\.", "hdm#base_learnear_2."),
+    (r"^down_supp\.0\.", "hdm#down_supp_0."),
+    (r"^down_query\.0\.", "hdm#down_query_0."),
+    (r"^query_merge\.0\.", "hdm#query_merge_0."),
+    (r"^supp_merge\.0\.", "hdm#supp_merge_0."),
+    (r"^gram_merge\.", "hdm#gram_merge."),
+    (r"^cls_merge\.", "hdm#cls_merge."),
+    (r"^kshot_rw\.(\d)\.", r"hdm#kshot_rw_\1."),
+    (r"^transformer\.mix_transformer\.down_sample_layers\.(\d)\.0\.projection\.",
+     r"hdm#transformer.down_\1_patch_proj."),
+    (r"^transformer\.mix_transformer\.down_sample_layers\.(\d)\.0\.norm\.",
+     r"hdm#transformer.down_\1_patch_norm."),
+    (r"^transformer\.mix_transformer\.down_sample_layers\.(\d)\.([12])(?=\.)",
+     lambda m: f"hdm#transformer.down_{m.group(1)}_enc{int(m.group(2)) - 1}"),
+    (r"^transformer\.mix_transformer\.down_sample_layers\.(\d)\.3\.",
+     r"hdm#transformer.down_\1_norm."),
+    (r"^transformer\.mix_transformer\.match_layers\.(\d)\.0(?=\.)",
+     r"hdm#transformer.match_\1_enc"),
+    (r"^transformer\.mix_transformer\.match_layers\.(\d)\.1\.conv\.",
+     r"hdm#transformer.match_\1_conv."),
+    (r"^transformer\.mix_transformer\.match_layers\.(\d)\.1\.bn\.",
+     r"hdm#transformer.match_\1_bn."),
+    (r"^transformer\.mix_transformer\.parse_layers\.(\d)\.0\.",
+     r"hdm#transformer.parse_\1_conv0."),
+    (r"^transformer\.mix_transformer\.parse_layers\.(\d)\.1\.",
+     r"hdm#transformer.parse_\1_bn0."),
+    (r"^transformer\.mix_transformer\.parse_layers\.(\d)\.2\.",
+     r"hdm#transformer.parse_\1_conv1."),
+    (r"^transformer\.mix_transformer\.parse_layers\.(\d)\.3\.",
+     r"hdm#transformer.parse_\1_bn1."),
+    (r"^transformer\.mix_transformer\.parse_layers\.(\d)\.4\.",
+     r"hdm#transformer.parse_\1_conv2."),
+    (r"^transformer\.mix_transformer\.parse_layers\.(\d)\.5\.",
+     r"hdm#transformer.parse_\1_bn2."),
+    (r"^transformer\.mix_transformer\.cls\.0\.", "hdm#transformer.cls_conv0."),
+    (r"^transformer\.mix_transformer\.cls\.1\.", "hdm#transformer.cls_bn0."),
+    (r"^transformer\.mix_transformer\.cls\.2\.", "hdm#transformer.cls_conv1."),
+    (r"^transformer\.mix_transformer\.cls\.3\.", "hdm#transformer.cls_bn1."),
+    (r"^transformer\.mix_transformer\.cls\.4\.", "hdm#transformer.cls_conv2."),
+] + _HDMNET_ENC
+
+
+def convert_hdmnet_state_dict(state_dict: Dict[str, np.ndarray],
+                              scope: str = "hdmnet.") -> Dict[str, Any]:
+    """Convert a reference HDMNet checkpoint into flax variable collections
+    ``{"params": ..., "batch_stats": ...}``."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def insert(tree, parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    for key, value in state_dict.items():
+        if "num_batches_tracked" in key or key.startswith("criterion"):
+            continue
+        value = np.asarray(value)
+        key = _apply_renames(key, _HDMNET_RENAMES).replace("hdm#", scope)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "running_mean":
+            insert(stats, parts[:-1] + ["mean"], value)
+        elif leaf == "running_var":
+            insert(stats, parts[:-1] + ["var"], value)
+        elif leaf == "weight":
+            if value.ndim == 4:
+                insert(params, parts[:-1] + ["kernel"], value.transpose(2, 3, 1, 0))
+            elif value.ndim == 2:
+                insert(params, parts[:-1] + ["kernel"], value.T)
+            elif _is_hdmnet_ln(parts):
+                insert(params, parts[:-1] + ["scale"], value)
+            else:  # BatchNorm affine (also 1-D) — same flax leaf name
+                insert(params, parts[:-1] + ["scale"], value)
+        else:
+            insert(params, parts, value)
+    return {"params": params, "batch_stats": stats}
+
+
+def _is_hdmnet_ln(parts: List[str]) -> bool:
+    mod = parts[-2] if len(parts) >= 2 else ""
+    return "norm" in mod
+
+
 _HF_VIT_RENAMES: List[Tuple[str, str]] = [
     # HuggingFace ViTModel (MAE / in21k / DINO) -> StandardViT
     (r"^vit\.", ""),

@@ -146,6 +146,70 @@ def setup() -> None:
 
         dropblock.DropBlock2D = _DropBlock2D
 
+    # mmcv/mmengine shims (HDMNet's transformer imports them; parameter
+    # names .conv/.bn/.projection/.norm match the real mmcv modules so
+    # state-dict keys line up with real checkpoints)
+    mmcv = _stub("mmcv")
+    mmcv_cnn = _stub("mmcv.cnn")
+    mmcv_bricks = _stub("mmcv.cnn.bricks")
+    mmcv_drop = _stub("mmcv.cnn.bricks.drop")
+    mmcv_tr = _stub("mmcv.cnn.bricks.transformer")
+    mmengine = _stub("mmengine")
+    mmengine_utils = _stub("mmengine.utils")
+
+    def _to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def _build_activation_layer(cfg):
+        return torch.nn.GELU()
+
+    def _build_norm_layer(cfg, dims):
+        if cfg.get("type", "LN") == "LN":
+            return ("ln", torch.nn.LayerNorm(dims, eps=cfg.get("eps", 1e-5)))
+        return ("bn", torch.nn.BatchNorm2d(dims))
+
+    def _build_conv_layer(cfg, *a, **k):
+        return torch.nn.Conv2d(*a, **k)
+
+    def _build_dropout(cfg):
+        return torch.nn.Identity()  # DropPath: inert at eval
+
+    class _ConvModule(torch.nn.Module):
+        def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                     norm_cfg=None, **kw):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(in_ch, out_ch, kernel_size, stride,
+                                        padding, bias=norm_cfg is None)
+            self.bn = torch.nn.BatchNorm2d(out_ch)
+            self.activate = torch.nn.ReLU()
+
+        def forward(self, x):
+            return self.activate(self.bn(self.conv(x)))
+
+    class _MMMultiheadAttention(torch.nn.Module):
+        def __init__(self, embed_dims, num_heads, attn_drop=0., proj_drop=0.,
+                     dropout_layer=None, init_cfg=None, batch_first=True,
+                     bias=False, **kw):
+            super().__init__()
+            self.embed_dims, self.num_heads = embed_dims, num_heads
+            self.attn = torch.nn.Identity()  # replaced by the subclass
+            self.proj_drop = torch.nn.Dropout(proj_drop)
+            self.dropout_layer = _build_dropout(dropout_layer)
+
+    mmcv_cnn.Conv2d = torch.nn.Conv2d
+    mmcv_cnn.build_activation_layer = _build_activation_layer
+    mmcv_cnn.build_norm_layer = _build_norm_layer
+    mmcv_cnn.build_conv_layer = _build_conv_layer
+    mmcv_cnn.ConvModule = _ConvModule
+    mmcv_drop.build_dropout = _build_dropout
+    mmcv_tr.MultiheadAttention = _MMMultiheadAttention
+    mmcv_bricks.drop = mmcv_drop
+    mmcv_bricks.transformer = mmcv_tr
+    mmcv_cnn.bricks = mmcv_bricks
+    mmcv.cnn = mmcv_cnn
+    mmengine_utils.to_2tuple = _to_2tuple
+    mmengine.utils = mmengine_utils
+
     # namespace-only packages: skip the heavy real __init__ modules
     for pkg, path in [
         ("label_anything", f"{REF}/label_anything"),

@@ -90,6 +90,12 @@ class LabelAnythingDataset:
     def __len__(self):
         return sum(len(ds) for ds in self.datasets.values())
 
+    def reseed(self, seed: int):
+        """Reset every sub-dataset's episode rng (validation reruns)."""
+        for ds in self.datasets.values():
+            if hasattr(ds, "rng"):
+                ds.rng = np.random.default_rng(seed)
+
     def __getitem__(self, idx_metadata):
         idx, batch_metadata = idx_metadata
         name, dataset_index = self.index[idx]
@@ -242,6 +248,11 @@ class VariableBatchSampler:
 
     def __len__(self):
         return len(self.batch_sizes)
+
+    def reseed(self, seed: int):
+        """Restart the schedule rng — validation reruns use seed = base + run
+        (reference: experiment/run.py:618-641)."""
+        self.rng = np.random.default_rng(seed)
 
     def shuffle(self):
         p = self.num_processes

@@ -197,18 +197,41 @@ class Run:
         params = {"model": params_model, "loss": params_loss}
 
         tp = self.train_params
+        sched_cfg = tp.get("scheduler")
+        if isinstance(sched_cfg, list):
+            sched_cfg = sched_cfg[0]
+        step_moment = (sched_cfg or {}).get("step_moment", "batch")
+        schedule_div = 1
+        if step_moment == "epoch" and self.train_loader is not None:
+            # reference steps the scheduler once per epoch in this mode
+            # (experiment/utils.py:77-100); optax schedules tick per update
+            schedule_div = max(1, len(self.train_loader))
         self.tx = build_optimizer(
             params,
             name=tp.get("optimizer", "AdamW"),
             learning_rate=tp.get("initial_lr", 5e-5),
             weight_decay=tp.get("weight_decay", 0.0),
+            momentum=tp.get("momentum", 0.9),
             backbone_lr=tp.get("backbone_lr"),
             freeze_backbone=tp.get("freeze_backbone", False),
-            scheduler=_norm_scheduler(tp.get("scheduler")),
+            scheduler=_norm_scheduler(sched_cfg),
+            schedule_div=schedule_div,
         )
         self.state = init_train_state(params, self.tx)
         self.train_step = make_train_step(self.model, self.loss, self.tx,
                                           mesh=self.mesh)
+        if tp.get("memory_preflight", True):
+            # fail fast on OOM before the first real step (reference:
+            # allocate_memory, experiment/utils.py:181-207)
+            from ..utils.profiling import estimate_step_memory
+
+            try:
+                estimate_step_memory(
+                    lambda s, b, g, r: self.train_step(
+                        s, b, g, r, 1.0, apply_update=True),
+                    self.state, input_dict, gt, jax.random.key(0))
+            except Exception as exc:  # preflight is advisory, never fatal
+                logger.warning("memory preflight unavailable: %s", exc)
         # resume if a checkpoint exists
         restored, meta = self.checkpoints.restore(self.state, "latest")
         if restored is not None:
@@ -270,8 +293,12 @@ class Run:
                 )
                 loss_val = float(aux["loss"])
                 if check_nan and not np.isfinite(loss_val):
-                    raise FloatingPointError(
-                        f"NaN/inf loss at epoch {epoch} batch {batch_idx}")
+                    # reference dumps model+batch to nan.pt before raising
+                    # (experiment/utils.py:139-157)
+                    from ..utils.profiling import check_nan as _nan_dump
+
+                    _nan_dump(loss_val, input_dict, self.state.params,
+                              dump_path=f"{self.run_dir}/nan_dump.pkl")
                 loss_sum += loss_val
                 loss_count += 1
 
@@ -325,6 +352,10 @@ class Run:
         for name, loader in self.val_loaders.items():
             per_run = []
             for run_idx in range(reruns):
+                # reference protocol: seed = base + run (run.py:618-641) so
+                # each rerun evaluates a DIFFERENT random episode draw
+                loader.batch_sampler.reseed(self.seed + run_idx)
+                loader.dataset.reseed(self.seed + run_idx)
                 per_run.append(self._validate_one(loader, name))
             agg = {k: float(np.mean([r[k] for r in per_run]))
                    for k in per_run[0]}

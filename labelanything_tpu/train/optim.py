@@ -81,11 +81,21 @@ def build_optimizer(
     backbone_lr: Optional[float] = None,
     scheduler: Optional[Dict[str, Any]] = None,
     freeze_backbone: bool = False,
+    schedule_div: int = 1,
 ) -> optax.GradientTransformation:
-    """(reference: experiment/utils.py:53-74)."""
+    """(reference: experiment/utils.py:53-74).
+
+    ``schedule_div`` implements the reference's scheduler ``step_moment``:
+    'epoch' configs advance the schedule once per epoch (the reference calls
+    scheduler.step() per epoch, experiment/utils.py:77-100) — pass
+    steps_per_epoch here so the optax schedule sees ``step // div``."""
     sched_cfg = dict(scheduler or {"name": "constant"})
     sched_cfg.setdefault("learning_rate", learning_rate)
-    schedule = build_scheduler(**sched_cfg)
+    base_schedule = build_scheduler(**sched_cfg)
+    if schedule_div > 1:
+        schedule = lambda step: base_schedule(step // schedule_div)
+    else:
+        schedule = base_schedule
 
     def make(lr_scale: float):
         if name.lower() == "adamw":

@@ -61,14 +61,17 @@ def estimate_step_memory(fn: Callable, *args) -> Dict[str, float]:
 
 def check_nan(loss_value: float, batch: Any, params: Any,
               dump_path: str = "nan_dump.pkl") -> None:
-    """Raise on non-finite loss after dumping the offending batch (reference:
-    experiment/utils.py:139-157 dumps model+batch to nan.pt)."""
+    """Raise on non-finite loss after dumping the offending batch AND model
+    state (reference: experiment/utils.py:139-157 dumps model+batch to
+    nan.pt)."""
     if np.isfinite(loss_value):
         return
     try:
         host_batch = jax.tree.map(np.asarray, batch)
+        host_params = jax.tree.map(np.asarray, params)
         with open(dump_path, "wb") as f:
-            pickle.dump({"batch": host_batch, "loss": loss_value}, f)
+            pickle.dump({"batch": host_batch, "params": host_params,
+                         "loss": loss_value}, f)
         logger.error("non-finite loss %s; batch dumped to %s",
                      loss_value, dump_path)
     except Exception as exc:

@@ -42,9 +42,12 @@ _HOST_KEYS = (BatchKeys.CLASSES, BatchKeys.IMAGE_IDS, BatchKeys.INTENDED_CLASSES
 def to_global_lut(classes: List[List[List[int]]], categories: Dict[int, dict],
                   num_episode_classes: int) -> np.ndarray:
     """Per-sample LUT episode-class-idx -> global class idx
-    (reference: data/utils.py:568-589). Returns (B, C_episode) int."""
-    cat_ids = sorted(categories.keys())
-    global_index = {cid: i + 1 for i, cid in enumerate(cat_ids)}
+    (reference: data/utils.py:568-589). Returns (B, C_episode) int.
+
+    The global index follows the categories dict INSERTION order (the
+    reference's cats_map = {k: i+1 for i, k in enumerate(categories.keys())}),
+    not sorted ids — proven equivalent by tests/test_metrics.py."""
+    global_index = {cid: i + 1 for i, cid in enumerate(categories.keys())}
     b = len(classes)
     lut = np.zeros((b, num_episode_classes), np.int64)
     for i, sample_classes in enumerate(classes):

@@ -71,3 +71,141 @@ def fb_iou(confmat2: jax.Array) -> jax.Array:
     tp = confmat2[1, 1]
     union = confmat2[1, 0] + confmat2[0, 1] + tp
     return tp / jnp.maximum(union, 1)
+
+
+# --------------------------------------------------------------------- #
+# PANet / DENet / ASNet mIoU variants + aux metrics
+# (reference: label_anything/utils/metrics.py:54-392, label_anything/metrics.py)
+# --------------------------------------------------------------------- #
+
+import numpy as np
+
+
+class PmIoU:
+    """PANet-protocol mean IoU (reference: utils/metrics.py:54-168 PmIoU).
+
+    Per sample and class, TP/FP/FN are counted ONLY when the class appears
+    in that sample's target (absent classes contribute NaN in the reference
+    and are skipped here); IoU is summed-statistics per class, then averaged
+    over the requested label set."""
+
+    def __init__(self, max_label: int = 20):
+        self.n = max_label + 1
+        self.tp = np.zeros(self.n)
+        self.fp = np.zeros(self.n)
+        self.fn = np.zeros(self.n)
+        self.present = np.zeros(self.n, bool)
+
+    def update(self, pred: np.ndarray, target: np.ndarray):
+        pred, target = np.asarray(pred), np.asarray(target)
+        if pred.ndim == 3:
+            for i in range(pred.shape[0]):
+                self.update(pred[i], target[i])
+            return
+        valid = target != IGNORE_INDEX
+        for label in range(self.n):
+            t = target == label
+            if not t.any():
+                continue
+            p = (pred == label) & valid
+            self.present[label] = True
+            self.tp[label] += np.sum(p & t)
+            self.fp[label] += np.sum(p & ~t)
+            self.fn[label] += np.sum(t & ~p)
+
+    def compute(self, labels=None) -> float:
+        labels = np.asarray(labels if labels is not None
+                            else range(1, self.n))
+        keep = labels[self.present[labels]]
+        if keep.size == 0:
+            return float("nan")
+        iou = self.tp[keep] / (self.tp[keep] + self.fp[keep] + self.fn[keep])
+        return float(iou.mean())
+
+
+def dm_iou(confmat: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """DENet-protocol mean IoU (reference: utils/metrics.py:216-254 DmIoU):
+    plain mean over ALL classes (bg included) with an eps-clipped union, so
+    absent classes contribute 0 rather than being skipped."""
+    tp = jnp.diagonal(confmat).astype(jnp.float32)
+    union = confmat.sum(axis=0) + confmat.sum(axis=1) - jnp.diagonal(confmat)
+    iu = tp / jnp.clip(union.astype(jnp.float32), eps, None)
+    return jnp.mean(iu)
+
+
+class ImIoU:
+    """ASNet-protocol mean IoU (reference: utils/metrics.py:258-360 ImIoU):
+    per-episode intersection/union histograms over local ids are scattered
+    onto global class slots; mIoU = mean over the classes of interest of
+    inter / max(union, 1)."""
+
+    def __init__(self, class_ids, nclass: int = 20):
+        self.class_ids = np.asarray(class_ids)
+        self.inter = np.zeros(nclass + 1)
+        self.union = np.zeros(nclass + 1)
+
+    def update(self, pred: np.ndarray, target: np.ndarray,
+               class_map: np.ndarray):
+        """pred/target (H, W) in local ids 0..way; class_map (way+1,) maps
+        local -> global (index 0 = bg)."""
+        way = len(class_map) - 1
+        pred, target = np.asarray(pred), np.asarray(target)
+        in_range = lambda x: (x >= 0) & (x <= way)
+        inter = np.bincount(
+            pred[(pred == target) & in_range(pred)].astype(int),
+            minlength=way + 1)[: way + 1]
+        a_p = np.bincount(pred[in_range(pred)].astype(int),
+                          minlength=way + 1)[: way + 1]
+        a_t = np.bincount(target[in_range(target)].astype(int),
+                          minlength=way + 1)[: way + 1]
+        union = a_p + a_t - inter
+        np.add.at(self.inter, class_map, inter)
+        np.add.at(self.union, class_map, union)
+
+    def compute(self) -> float:
+        inter = self.inter[self.class_ids]
+        union = self.union[self.class_ids]
+        return float(np.mean(inter / np.maximum(union, 1.0)))
+
+
+def macro_f1(confmat: jax.Array) -> jax.Array:
+    """Macro F1 over classes with support (torchmetrics F1Score
+    macro semantics, reference: label_anything/metrics.py F1)."""
+    tp = jnp.diagonal(confmat)
+    fp = confmat.sum(axis=0) - tp
+    fn = confmat.sum(axis=1) - tp
+    denom = 2 * tp + fp + fn
+    valid = denom > 0
+    f1 = jnp.where(valid, 2 * tp / jnp.maximum(denom, 1), 0.0)
+    return f1.sum() / jnp.maximum(valid.sum(), 1)
+
+
+class StreamingBinaryAUC:
+    """Binary AUROC from score histograms (reference:
+    label_anything/metrics.py AUC wraps torchmetrics AUROC). Scores are
+    bucketed into ``bins`` thresholds; AUC comes from the trapezoidal ROC
+    integral — exact when scores take <= bins distinct values, otherwise
+    within O(1/bins)."""
+
+    def __init__(self, bins: int = 512):
+        self.bins = bins
+        self.pos = np.zeros(bins)
+        self.neg = np.zeros(bins)
+
+    def update(self, scores: np.ndarray, target: np.ndarray):
+        """scores in [0, 1]; target binary {0, 1}."""
+        scores = np.clip(np.asarray(scores).reshape(-1), 0.0, 1.0)
+        target = np.asarray(target).reshape(-1)
+        idx = np.minimum((scores * self.bins).astype(int), self.bins - 1)
+        self.pos += np.bincount(idx[target == 1], minlength=self.bins)
+        self.neg += np.bincount(idx[target == 0], minlength=self.bins)
+
+    def compute(self) -> float:
+        # descending-threshold cumulative TPR/FPR
+        tp = np.cumsum(self.pos[::-1])
+        fp = np.cumsum(self.neg[::-1])
+        if tp[-1] == 0 or fp[-1] == 0:
+            return float("nan")
+        tpr = np.concatenate([[0.0], tp / tp[-1]])
+        fpr = np.concatenate([[0.0], fp / fp[-1]])
+        return float(np.trapezoid(tpr, fpr))

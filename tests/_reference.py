@@ -146,6 +146,32 @@ def setup() -> None:
 
         dropblock.DropBlock2D = _DropBlock2D
 
+    # torchmetrics shim: the reference's PmIoU/DmIoU/ImIoU only need the
+    # Metric base class; the torchmetrics-backed wrappers are not under test
+    class _Metric(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    tm = _stub("torchmetrics")
+    for name in ("Metric", "JaccardIndex", "AUROC", "F1Score",
+                 "ConfusionMatrix", "Precision", "Recall"):
+        setattr(tm, name, _Metric)
+    tmc = _stub("torchmetrics.classification")
+    tmc.BinaryJaccardIndex = tmc.JaccardIndex = _Metric
+    tmc.MulticlassJaccardIndex = _Metric
+    tm.classification = tmc
+    tmf = _stub("torchmetrics.functional")
+    tmfc = _stub("torchmetrics.functional.classification")
+    tmfc.binary_jaccard_index = lambda *a, **k: None
+    tmfj = _stub("torchmetrics.functional.classification.jaccard")
+    tmfj._jaccard_index_reduce = None
+    tmfr = _stub("torchmetrics.functional.classification.roc")
+    tmfr.roc = None
+    tmfc.jaccard = tmfj
+    tmfc.roc = tmfr
+    tmf.classification = tmfc
+    tm.functional = tmf
+
     # mmcv/mmengine shims (HDMNet's transformer imports them; parameter
     # names .conv/.bn/.projection/.norm match the real mmcv modules so
     # state-dict keys line up with real checkpoints)

@@ -76,6 +76,18 @@ def build_vit_dino_b8(project_last_hidden: bool = False, **kwargs):
                        pretrain_grid=28, **kwargs)
 
 
+def _build_resnet50(**kwargs):
+    from .pyramid_encoders import build_resnet50
+
+    return build_resnet50(**kwargs)
+
+
+def _build_swin_b(**kwargs):
+    from .pyramid_encoders import build_swin_b
+
+    return build_swin_b(**kwargs)
+
+
 ENCODERS = {
     "vit_h": build_vit_h,
     "vit_l": build_vit_l,
@@ -83,6 +95,9 @@ ENCODERS = {
     "vit_b_mae": build_vit_b_mae,
     "vit_b_imagenet_i21k": build_vit_b_imagenet_i21k,
     "vit_dino_b8": build_vit_dino_b8,
+    # pyramid backbones (reference: build_encoder.py:118-152)
+    "resnet50": _build_resnet50,
+    "swin_b": _build_swin_b,
 }
 
 

@@ -279,13 +279,37 @@ def build_multilevel_lam(
     apply_masks=False,
     dtype=jnp.float32,
     vit_patch_sizes=(8, 16, 32),
+    encoder=None,
     **kwargs,
 ):
     """Multi-scale variant (reference: build_lam.py:303-399). Consumes
-    precomputed pyramid embeddings {'stageN': (B, N, H, W, C)}; per-level
-    encoders/decoders sized by ``embed_dims``."""
+    precomputed pyramid embeddings {'stageN': (B, N, H, W, C)} or, when
+    ``encoder`` names a pyramid backbone ({"name": "resnet50"|"swin_b"}),
+    raw images run through it (reference: build_encoder.py:118-152).
+    Per-level encoders/decoders sized by ``embed_dims``."""
     from .multilevel import (MultiLevelLam, MultiLevelMaskDecoder,
                              MultiLevelPromptEncoder)
+
+    image_encoder = None
+    if encoder is not None:
+        from .pyramid_encoders import (RESNET50_STAGE_DIMS, SWIN_B_STAGE_DIMS,
+                                       build_resnet50, build_swin_b)
+
+        enc_cfg = dict(encoder) if isinstance(encoder, dict) else {"name": encoder}
+        enc_name = enc_cfg.pop("name")
+        out_features = tuple(enc_cfg.get("out_features",
+                                         ("stage2", "stage3", "stage4")))
+        if enc_name == "resnet50":
+            image_encoder = build_resnet50(**enc_cfg)
+            embed_dims = tuple(RESNET50_STAGE_DIMS[s] for s in out_features)
+        elif enc_name == "swin_b":
+            enc_cfg.setdefault("image_size", image_size)
+            image_encoder = build_swin_b(**enc_cfg)
+            embed_dims = tuple(SWIN_B_STAGE_DIMS[s] for s in out_features)
+        else:
+            raise ValueError(f"unknown pyramid encoder {enc_name!r}")
+        # stage strides 8/16/32 regardless of backbone family
+        vit_patch_sizes = (8, 16, 32)[: len(out_features)]
 
     encoders = []
     decoders = []
@@ -328,7 +352,7 @@ def build_multilevel_lam(
             dtype=dtype,
         ))
     return MultiLevelLam(
-        image_encoder=None,
+        image_encoder=image_encoder,
         neck=None,
         prompt_encoder=MultiLevelPromptEncoder(prompt_encoders=tuple(encoders)),
         mask_decoder=MultiLevelMaskDecoder(

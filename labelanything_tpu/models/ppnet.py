@@ -109,10 +109,13 @@ class ResNetSem(nn.Module):
     out_layer: str = "layer4"        # stop early for heads that use layer3
     quirk_last_relu: bool = True     # PPNet's no-ReLU-on-last-layer4-block;
     #                                  False = standard torchvision resnet
+    dilated: bool = True             # False = standard strides (8/16/32)
+    multi_out: Optional[Sequence[str]] = None  # e.g. ("layer2", "layer3",
+    #                                  "layer4") -> dict of stage maps
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(_BN(64, name="bn1")(x))
@@ -121,12 +124,21 @@ class ResNetSem(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
 
         # (planes, stride, dilations (first, rest))
-        stages = [
-            ("layer1", 64, 1, (1, 1)),
-            ("layer2", 128, 2, (1, 1)),
-            ("layer3", 256, 1, (1, 2)),
-            ("layer4", 512, 1, (2, 4)),
-        ]
+        if self.dilated:
+            stages = [
+                ("layer1", 64, 1, (1, 1)),
+                ("layer2", 128, 2, (1, 1)),
+                ("layer3", 256, 1, (1, 2)),
+                ("layer4", 512, 1, (2, 4)),
+            ]
+        else:  # torchvision standard strides
+            stages = [
+                ("layer1", 64, 1, (1, 1)),
+                ("layer2", 128, 2, (1, 1)),
+                ("layer3", 256, 2, (1, 1)),
+                ("layer4", 512, 2, (1, 1)),
+            ]
+        outs = {}
         for si, (name, planes, stride, (dil0, dil)) in enumerate(stages):
             n_blocks = self.layers[si]
             for bi in range(n_blocks):
@@ -144,8 +156,12 @@ class ResNetSem(nn.Module):
                     dtype=self.dtype,
                     name=f"{name}_{bi}",
                 )(x)
-            if name == self.out_layer:
+            if self.multi_out is not None:
+                outs[name] = x
+            elif name == self.out_layer:
                 return x
+        if self.multi_out is not None:
+            return {name: outs[name] for name in self.multi_out}
         return x
 
 

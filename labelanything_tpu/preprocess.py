@@ -296,39 +296,91 @@ def preprocess_images_to_feature_pyramids(
     custom_preprocess: bool = True,
     out_features=("stage2", "stage3", "stage4"),
     limit: Optional[int] = None,
+    checkpoint: Optional[str] = None,
 ):
     """Multi-scale feature-pyramid caches for MultiLevelLam
-    (reference: preprocess.py:262-322). ResNet/Swin pyramid backbones come
-    from transformers AutoBackbone; that tower runs on the host torch-cpu as
-    an offline tool (the TPU path consumes the cached pyramids).
+    (reference: preprocess.py:262-322).
 
-    ``encoder_name`` must be a LOCAL checkpoint directory."""
-    import torch
-    from transformers import AutoBackbone
+    ``encoder_name`` "resnet50"/"swin_b" selects the NATIVE jitted pyramid
+    backbones (models/pyramid_encoders.py) running on the accelerator, with
+    an optional torch ``checkpoint`` imported via utils.torch_import; any
+    other name falls back to a transformers AutoBackbone on host torch-cpu.
+    Outputs are reference-compatible per-image safetensors {"stageN": CHW}.
+    """
+    import jax
+    import jax.numpy as jnp
 
     from safetensors.numpy import save_file
 
-    backbone = AutoBackbone.from_pretrained(
-        encoder_name, out_features=list(out_features)).eval()
+    from .models.build_encoder import ENCODERS
+
     os.makedirs(outfolder, exist_ok=True)
     files = _image_files(instances_path, directory)
     if limit:
         files = files[:limit]
-    with torch.no_grad():
-        for start in range(0, len(files), batch_size):
-            chunk = files[start:start + batch_size]
-            arrs = []
-            for _, path in chunk:
-                arr, _ = preprocess_image(Image.open(path), image_resolution,
-                                          custom_preprocess)
-                arrs.append(arr.transpose(2, 0, 1))
-            out = backbone(torch.from_numpy(np.stack(arrs)))
-            stages = {name: fm.numpy() for name, fm in
-                      zip(out_features, out.feature_maps)}
-            for i, (image_id, _) in enumerate(chunk):
-                save_file({name: fm[i] for name, fm in stages.items()},
-                          os.path.join(outfolder,
-                                       f"{str(image_id).zfill(12)}.safetensors"))
+
+    if encoder_name in ("resnet50", "swin_b"):
+        kwargs = {"out_features": tuple(out_features)}
+        if encoder_name == "swin_b":
+            kwargs["image_size"] = image_resolution
+        backbone = ENCODERS[encoder_name](**kwargs)
+        example = jnp.zeros((1, image_resolution, image_resolution, 3),
+                            jnp.float32)
+        variables = jax.jit(backbone.init)(jax.random.key(0), example)
+        if checkpoint:
+            from .utils.torch_import import (convert_dcama_state_dict,
+                                             convert_ppnet_state_dict,
+                                             load_torch_file,
+                                             merge_into_variables)
+
+            sd = load_torch_file(checkpoint)
+            if encoder_name == "resnet50":
+                converted = convert_ppnet_state_dict(
+                    {f"resnet.{k}": v for k, v in sd.items()})
+            else:
+                converted = {"params": convert_dcama_state_dict(
+                    {f"feature_extractor.{k}": v for k, v in sd.items()}
+                ).get("feature_extractor", {})}
+                converted = {"params": {"swin": converted["params"]}}
+            variables = merge_into_variables(variables, converted,
+                                             strict=False)
+        apply = jax.jit(lambda v, x: backbone.apply(v, x))
+
+        def run(arrs):
+            out = apply(variables, jnp.asarray(np.stack(arrs)))
+            # channels-last -> reference CHW layout
+            return {k: np.asarray(v).transpose(0, 3, 1, 2)
+                    for k, v in out.items()}
+    else:
+        import torch
+        from transformers import AutoBackbone
+
+        tb = AutoBackbone.from_pretrained(
+            encoder_name, out_features=list(out_features)).eval()
+
+        def run(arrs):
+            with torch.no_grad():
+                out = tb(torch.from_numpy(
+                    np.stack([a.transpose(2, 0, 1) for a in arrs])))
+            return {name: fm.numpy() for name, fm in
+                    zip(out_features, out.feature_maps)}
+
+    for start in range(0, len(files), batch_size):
+        chunk = files[start:start + batch_size]
+        arrs = []
+        for _, path in chunk:
+            arr, _ = preprocess_image(Image.open(path), image_resolution,
+                                      custom_preprocess)
+            arrs.append(arr)
+        # pad the tail chunk so the jitted apply sees one static batch shape
+        n_real = len(arrs)
+        while len(arrs) < batch_size:
+            arrs.append(arrs[-1])
+        stages = run(arrs)
+        for i, (image_id, _) in enumerate(chunk[:n_real]):
+            save_file({name: fm[i] for name, fm in stages.items()},
+                      os.path.join(outfolder,
+                                   f"{str(image_id).zfill(12)}.safetensors"))
     logger.info("pyramids written for %d images", len(files))
 
 

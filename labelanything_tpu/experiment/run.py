@@ -256,8 +256,13 @@ class Run:
             watch = self.train_params.get("watch_metric", "miou")
             value = metrics.get(watch, metrics.get("miou", 0.0))
             self.checkpoints.save_latest(self.state, epoch)
+            self.tracker.log_training_state(
+                "latest", epoch, f"{self.run_dir}/checkpoints/latest")
             if self.checkpoints.maybe_save_best(self.state, epoch, value):
                 best = value
+                self.tracker.log_training_state(
+                    "best", epoch, f"{self.run_dir}/checkpoints/best",
+                    metric=watch, value=value)
                 logger.info("new best %s=%.4f @ epoch %d", watch, value, epoch)
         return best
 
@@ -323,9 +328,12 @@ class Run:
                         and tot_steps % self.image_log_frequency == 0):
                     from ..utils.visualize import log_batch_images
 
-                    log_batch_images(self.run_dir,
-                                     f"train_e{epoch}_s{tot_steps}",
-                                     batch, preds, gts_np)
+                    paths = log_batch_images(self.run_dir,
+                                             f"train_e{epoch}_s{tot_steps}",
+                                             batch, preds, gts_np)
+                    for p in paths:
+                        self.tracker.log_image(f"train_e{epoch}", p,
+                                               step=self.global_train_step)
                 if tot_steps % self.log_frequency == 0:
                     with self.tracker.phase("train"):
                         self.tracker.log_metrics(

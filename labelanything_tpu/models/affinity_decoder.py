@@ -45,8 +45,11 @@ class AffinityDecoder(nn.Module):
     def setup(self):
         if self.prototype_merge:
             raise NotImplementedError(
-                "PrototypeAffinity is inconsistent in the reference "
-                "(mask_decoder.py:511-555); see module docstring."
+                "PrototypeAffinity is broken in the reference: the merge "
+                "branch returns an unbound variable and its head split is "
+                "internally inconsistent (mask_decoder.py:511-555, 630-648) "
+                "— reproduced by tests/test_variants.py::"
+                "test_reference_prototype_affinity_is_broken."
             )
         td = self.transformer_dim
         ds = self.classification_layer_downsample_rate

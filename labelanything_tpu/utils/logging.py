@@ -39,14 +39,30 @@ class ExperimentLogger:
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.name = name
         self._prefix = ""
+        # run-id resume (reference: logger/wandb.py:115-178): a stable id is
+        # minted on first init and reused when the run dir already has one,
+        # so resumed runs append to the same logical run
+        meta_path = self.run_dir / "run_meta.json"
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            self.run_id = meta["run_id"]
+            self.resumed = True
+        else:
+            import uuid
+
+            self.run_id = uuid.uuid4().hex[:8]
+            self.resumed = False
+            meta_path.write_text(json.dumps(
+                {"run_id": self.run_id, "name": name, "created": time.time()}))
         self._sink = open(self.run_dir / "metrics.jsonl", "a")
         self._wandb = None
         if use_wandb:
             try:
                 import wandb
 
-                self._wandb = wandb.init(dir=str(self.run_dir),
-                                         name=name, **(wandb_kwargs or {}))
+                self._wandb = wandb.init(dir=str(self.run_dir), name=name,
+                                         id=self.run_id, resume="allow",
+                                         **(wandb_kwargs or {}))
             except Exception:
                 get_logger().warning("wandb unavailable; using JSONL sink only")
 
@@ -76,6 +92,29 @@ class ExperimentLogger:
         self._sink.flush()
         if self._wandb is not None:
             self._wandb.log(record, step=step)
+
+    def log_training_state(self, tag: str, epoch: int,
+                           checkpoint_dir: str, **meta):
+        """Record a checkpoint-save event (reference: wandb.py:935-944
+        log_training_state saves accelerator state under files/best|latest;
+        here the orbax save already happened — this logs the pointer)."""
+        self.log_metrics({
+            f"checkpoint/{tag}": str(checkpoint_dir),
+            f"checkpoint/{tag}_epoch": epoch,
+            **{f"checkpoint/{tag}_{k}": v for k, v in meta.items()},
+        })
+
+    def log_image(self, tag: str, path: str, step: Optional[int] = None):
+        """Record a rendered overlay path (the offline counterpart of the
+        reference's image tables, wandb.py:472-906)."""
+        self.log_metrics({f"image/{tag}": str(path)}, step=step)
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log({tag: wandb.Image(str(path))}, step=step)
+            except Exception:
+                pass
 
     def close(self):
         self._sink.close()

@@ -78,7 +78,24 @@ def draw_prompts(image: np.ndarray, batch: Dict[str, np.ndarray],
                 x0, y0, x1, y1 = boxes[c, n]
                 if x1 > x0 and y1 > y0:
                     draw.rectangle([x0, y0, x1, y1], outline=color, width=2)
-    return np.asarray(img)
+    out = np.asarray(img)
+    if BatchKeys.PROMPT_MASKS in batch:
+        # blend the flagged class-mask prompts (reference: wandb.py:820-906)
+        masks = np.asarray(batch[BatchKeys.PROMPT_MASKS])[sample, example]
+        flags = np.asarray(batch.get(BatchKeys.FLAG_MASKS,
+                                     np.ones(masks.shape[:1])))[sample, example] \
+            if BatchKeys.FLAG_MASKS in batch else np.ones(masks.shape[0])
+        h, w = out.shape[:2]
+        labels = np.zeros((h, w), np.int64)
+        for c in range(masks.shape[0]):
+            if flags[c] == 0:
+                continue
+            m = np.asarray(Image.fromarray(
+                (masks[c] > 0.5).astype(np.uint8) * 255).resize(
+                (w, h), Image.NEAREST)) > 0
+            labels[m] = c
+        out = overlay(out, labels, alpha=0.4)
+    return out
 
 
 def log_batch_images(run_dir: str, tag: str, batch: Dict[str, np.ndarray],
@@ -98,9 +115,11 @@ def log_batch_images(run_dir: str, tag: str, batch: Dict[str, np.ndarray],
             s = preds.shape[-1]
             query_img = np.asarray(Image.fromarray(query_img).resize((s, s)))
             panels.append(overlay(query_img, np.asarray(preds[i])))
-            if imgs.shape[1] > 1:
-                sup = denormalize(imgs[i, 1])
-                panels.append(draw_prompts(sup, batch, i, 0))
+            # every support image with its prompt overlays (reference
+            # renders the full example sequence, wandb.py:761-906)
+            for ex in range(imgs.shape[1] - 1):
+                sup = denormalize(imgs[i, ex + 1])
+                panels.append(draw_prompts(sup, batch, i, ex))
         else:
             panels.append(colorize(np.asarray(preds[i])))
         panels.append(colorize(np.asarray(gts[i])))

@@ -2,6 +2,7 @@
 GuidedPooler, SAM, contrastive PE, extra losses."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -186,3 +187,50 @@ def test_sam_fewshot_composition():
     params = jax.jit(model.init)(jax.random.key(0), batch)
     out = jax.jit(model.apply)(params, batch)
     assert out[ResultDict.LOGITS].shape == (1, C, S, S)
+
+
+def test_reference_prototype_affinity_is_broken():
+    """Auditable record of why AffinityDecoder(prototype_merge=True) raises
+    NotImplementedError here instead of porting the reference merge
+    (reference: models/mask_decoder.py:511-555, 630-648):
+
+    1. The prototype branch assigns ``proto_logits`` but the function returns
+       ``logits``, which is only bound in the else-branch -> NameError.
+    2. prototype_transformer splits the class embeddings with heads=8 but the
+       affinity features with heads=32 (mask_decoder.py:536-546): for the
+       canonical dims the 8-channel affinity map cannot reshape into 32
+       heads, and the batch axes (b*8 vs b*32) disagree even when it could.
+    """
+    import inspect
+
+    torch = pytest.importorskip("torch")
+    from tests._reference import load
+
+    ref_md = load("label_anything.models.mask_decoder")
+
+    src = inspect.getsource(ref_md.AffinityDecoder.forward)
+    proto_branch = src.split("if self.class_embedding_mlp is not None:")[1]
+    branch_body = proto_branch.split("else:")[0]
+    assert "proto_logits = self.prototype_transformer" in branch_body
+    import re
+
+    # no bare `logits = ...` binding in the branch -> `return logits` NameErrors
+    assert not re.search(r"^\s+logits\s*=", branch_body, re.M)
+
+    pt = inspect.getsource(ref_md.AffinityDecoder.prototype_transformer)
+    assert "heads = 32" in pt and 'heads=8' in pt  # inconsistent head split
+
+    # and executing the merge with well-formed inputs indeed fails
+    torch.manual_seed(32)
+    dec = ref_md.AffinityDecoder(
+        transformer_dim=64,
+        transformer=torch.nn.Identity(),
+        prototype_merge=True,
+    ).eval()
+    b, c, h, w = 1, 2, 8, 8
+    q = torch.randn(b * c, 64, h, w)
+    protos = torch.randn(b, c, 64)
+    pe = torch.randn(b, 64, h, w)
+    batch_mask = torch.ones(b * c, dtype=torch.bool)
+    with pytest.raises(Exception):
+        dec.prototype_transformer(q, protos, pe, batch_mask)

@@ -68,9 +68,17 @@ def _resolve_checkpoint_dir(name_or_path: str) -> pathlib.Path:
         flat = pathlib.Path(root) / name_or_path.replace("/", "--")
         if flat.is_dir():
             return flat
-    raise FileNotFoundError(
-        f"Checkpoint {name_or_path!r} not found locally; this environment has "
-        "no network egress — download the snapshot into LABELANYTHING_CACHE.")
+    # fall back to a hub download (reference: models/hfhub.py:27-66
+    # PyTorchModelHubMixin.from_pretrained); no-ops cleanly without network
+    try:
+        from huggingface_hub import snapshot_download
+
+        return pathlib.Path(snapshot_download(repo_id=name_or_path))
+    except Exception as exc:
+        raise FileNotFoundError(
+            f"Checkpoint {name_or_path!r} not found locally and hub download "
+            f"failed ({exc}); download the snapshot into LABELANYTHING_CACHE."
+        ) from exc
 
 
 class LabelAnything:
@@ -141,6 +149,39 @@ class LabelAnything:
         from .train.checkpoint import save_params
 
         save_params(str(out / JAX_PARAMS_DIR), self.params)
+
+    def save_torch_compatible(self, out_dir: str):
+        """Export params as a reference-layout torch-style safetensors file
+        (``model.safetensors``) so checkpoints round-trip between frameworks
+        (the inverse of utils.torch_import.convert_state_dict)."""
+        from safetensors.numpy import save_file
+
+        from .utils.torch_import import export_state_dict
+
+        out = pathlib.Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        self.config.save(str(out / CONFIG_NAME))
+        save_file(export_state_dict(self.params), str(out / "model.safetensors"))
+
+    def push_to_hub(self, repo_id: str, out_dir: Optional[str] = None,
+                    private: bool = True, torch_compatible: bool = True):
+        """Upload the checkpoint to the Hugging Face hub (reference:
+        models/hfhub.py:50-66 PyTorchModelHubMixin.push_to_hub). Requires
+        network access + an HF token; the local save always happens first so
+        a failed upload never loses the artifact."""
+        import tempfile
+
+        from huggingface_hub import HfApi
+
+        out = out_dir or tempfile.mkdtemp(prefix="labelanything_push_")
+        if torch_compatible:
+            self.save_torch_compatible(out)
+        else:
+            self.save_pretrained(out)
+        api = HfApi()
+        api.create_repo(repo_id=repo_id, private=private, exist_ok=True)
+        api.upload_folder(repo_id=repo_id, folder_path=out)
+        return out
 
     # ------------------------------------------------------------------ #
     # serving surface

@@ -674,6 +674,81 @@ def convert_hf_vit_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, An
     return tree
 
 
+_EXPORT_RENAMES: List[Tuple[str, str]] = [
+    # inverse of _RENAMES for the LAM (no-ViT) tree — reference layout out
+    (r"(^|\.)neck\.conv1\.", r"\1neck.0."),
+    (r"(^|\.)neck\.ln1\.", r"\1neck.1."),
+    (r"(^|\.)neck\.conv2\.", r"\1neck.2."),
+    (r"(^|\.)neck\.ln2\.", r"\1neck.3."),
+    (r"(^|\.)mask_down_conv1\.", r"\1mask_downscaling.0."),
+    (r"(^|\.)mask_down_ln1\.", r"\1mask_downscaling.1."),
+    (r"(^|\.)mask_down_conv2\.", r"\1mask_downscaling.3."),
+    (r"(^|\.)mask_down_ln2\.", r"\1mask_downscaling.4."),
+    (r"(^|\.)mask_down_conv3\.", r"\1mask_downscaling.6."),
+    (r"(^|\.)class_attention_block\.", r"\1class_attention."),
+    (r"(^|\.)example_attention_block\.", r"\1example_attention."),
+    (r"(^|\.)class_example_attention_block\.", r"\1class_example_attention."),
+    (r"(^|\.)up_conv1\.", r"\1output_upscaling.0."),
+    (r"(^|\.)up_ln\.", r"\1output_upscaling.1."),
+    (r"(^|\.)up_conv2\.", r"\1output_upscaling.3."),
+    (r"(^|\.)spatial_conv_0\.", r"\1spatial_convs.0."),
+    (r"(^|\.)spatial_ln_0\.", r"\1spatial_convs.1."),
+    (r"(^|\.)spatial_conv_1\.", r"\1spatial_convs.3."),
+    (r"(^|\.)spatial_ln_1\.", r"\1spatial_convs.4."),
+    (r"(^|\.)spatial_conv_2\.", r"\1spatial_convs.6."),
+    (r"(^|\.)spatial_ln_2\.", r"\1spatial_convs.7."),
+    (r"(^|\.)prototype_tconv_(\d+)\.", r"\1prototype_tconv.\2."),
+    (r"(^|\.)layers_(\d+)\.", r"\1layers.\2."),
+    (r"(^|\.)blocks_(\d+)\.", r"\1blocks.\2."),
+]
+
+_EXPORT_LN2D = tuple(_LN2D_NAMES) + _LN2D_PREFIXES
+
+
+def export_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_state_dict` for the LAM (no-ViT) tree:
+    produce a reference-layout torch-style state dict from flax params, so
+    checkpoints trained here load in the reference (and round-trip through
+    convert_state_dict bit-exactly — tested in tests/test_api.py)."""
+    flat = _flatten(params["params"] if "params" in params else params)
+    out: Dict[str, np.ndarray] = {}
+    for path, value in flat.items():
+        value = np.asarray(value)
+        key = ".".join(path)
+        mod = path[-2] if len(path) >= 2 else ""
+        leaf = path[-1]
+        if leaf == "point_embeddings":
+            # (4, D) stacked rows -> point_embeddings.{i}.weight
+            base = ".".join(path[:-1])
+            prefix = base + "." if base else ""
+            for i in range(value.shape[0]):
+                out[_apply_renames(
+                    f"{prefix}point_embeddings.{i}.weight",
+                    _EXPORT_RENAMES)] = value[i][None]
+            continue
+        if leaf in ("not_a_point_embed", "no_mask_embed", "not_a_mask_embed",
+                    "no_sparse_embedding"):
+            # imported as the full nn.Embedding weight (1, D) — name only
+            key = key + ".weight"
+        elif leaf == "kernel":
+            base = ".".join(path[:-1])
+            if value.ndim == 4:
+                value = value.transpose(3, 2, 0, 1)
+            else:
+                value = value.T
+            key = base + ".weight"
+        elif leaf == "scale":
+            key = ".".join(path[:-1]) + ".weight"
+        elif leaf == "weight" and (mod in _LN2D_NAMES or
+                                   any(mod.startswith(pfx)
+                                       for pfx in _LN2D_PREFIXES)):
+            pass  # LayerNorm2d weight keeps its name
+        # safetensors serializes raw buffers: transposed VIEWS must be made
+        # contiguous or they save scrambled
+        out[_apply_renames(key, _EXPORT_RENAMES)] = np.ascontiguousarray(value)
+    return out
+
+
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.bin/.safetensors checkpoint into numpy arrays."""
     if str(path).endswith(".safetensors"):

@@ -177,3 +177,58 @@ def test_cross_domain_protocol(tmp_path):
     metrics = run._test_one(ds, "test_kvasir", batch_size=3)
     assert set(metrics) == {"miou", "fbiou"}
     assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_export_state_dict_roundtrip():
+    """export_state_dict is the exact inverse of convert_state_dict on the
+    LAM (no-ViT) tree: reference torch sd -> flax params -> exported sd with
+    identical keys and bit-equal values."""
+    import numpy as np
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    from tests.test_parity_canonical import _load_ref_build_lam
+
+    from labelanything_tpu.models.build_lam import build_lam_no_vit
+    from labelanything_tpu.utils.torch_import import (convert_state_dict,
+                                                      export_state_dict,
+                                                      merge_into_params)
+    import jax
+    import jax.numpy as jnp
+    from labelanything_tpu.data.synthetic import random_batch
+
+    ref_bl = _load_ref_build_lam()
+    torch.manual_seed(35)
+    kw = dict(image_embed_dim=24, embed_dim=32, image_size=64,
+              spatial_convs=2, example_class_attention=True,
+              class_encoder={"name": "RandomMatrixEncoder", "bank_size": 10,
+                             "embed_dim": 32})
+    ref = ref_bl.build_lam_no_vit(**kw).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    ours_kw = dict(kw)
+    ours_kw["class_encoder"] = {"name": "RandomMatrixEncoder", "bank_size": 10}
+    ours = build_lam_no_vit(**ours_kw)
+    batch = jax.tree.map(jnp.asarray, random_batch(
+        batch_size=1, num_examples=1, num_classes=2, image_size=64,
+        embed_dim=24))
+    params = ours.init(jax.random.key(0), batch)
+    params = merge_into_params(params, convert_state_dict(sd))
+
+    exported = export_state_dict(params)
+    assert set(exported) == set(sd), (
+        sorted(set(sd) - set(exported))[:8], sorted(set(exported) - set(sd))[:8])
+    for k in sd:
+        np.testing.assert_array_equal(exported[k], sd[k], err_msg=k)
+
+    # and through disk: safetensors serializes raw buffers, so transposed
+    # views must arrive contiguous (regression: scrambled dense kernels)
+    import tempfile
+
+    from safetensors.numpy import load_file, save_file
+
+    path = tempfile.mktemp(suffix=".safetensors")
+    save_file(exported, path)
+    back = load_file(path)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)

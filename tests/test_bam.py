@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity  # torch-reference tier (deselect with -m "not parity")
+
 from tests._reference import load
 
 from labelanything_tpu.models.bam import (BAM, BAMMultiClass, gram_matrix,

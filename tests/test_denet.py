@@ -9,6 +9,8 @@ from flax import linen as nn
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity  # torch-reference tier (deselect with -m "not parity")
+
 from tests._reference import load
 
 from labelanything_tpu.models.denet import (DENet, DENetMultiClass,

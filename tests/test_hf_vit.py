@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.parity  # torch-reference tier (deselect with -m "not parity")
 transformers = pytest.importorskip("transformers")
 
 from labelanything_tpu.models.vit import StandardViT

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity  # torch-reference tier (deselect with -m "not parity")
+
 from tests._reference import load
 
 ref_common = load("label_anything.models.common")

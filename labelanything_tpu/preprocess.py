@@ -35,11 +35,20 @@ def _image_files(instances_path: Optional[str], directory: str):
     if instances_path:
         with open(instances_path) as f:
             instances = json.load(f)
-        return [(img["id"], os.path.join(directory, img["file_name"]))
-                for img in instances["images"]]
-    files = sorted(pathlib.Path(directory).glob("*.jpg")) + sorted(
-        pathlib.Path(directory).glob("*.png"))
-    return [(p.stem.lstrip("0") or "0", str(p)) for p in files]
+        files = [(img["id"], os.path.join(directory, img["file_name"]))
+                 for img in instances["images"]]
+    else:
+        paths = sorted(pathlib.Path(directory).glob("*.jpg")) + sorted(
+            pathlib.Path(directory).glob("*.png"))
+        files = [(p.stem.lstrip("0") or "0", str(p)) for p in paths]
+    # multi-worker sharding for pod-scale extraction
+    # (scripts/launch_embeddings_pod.sh sets these per TPU-VM worker)
+    shard = int(os.environ.get("LA_SHARD_INDEX", 0))
+    count = int(os.environ.get("LA_SHARD_COUNT", 1))
+    if count > 1:
+        files = files[shard::count]
+        logger.info("worker shard %d/%d: %d images", shard, count, len(files))
+    return files
 
 
 def preprocess_images_to_embeddings(

@@ -89,6 +89,38 @@ def decomposed_rel_pos_bias(
     return bias.reshape(bsz, q_h * q_w, k_h * k_w)
 
 
+class PatchEmbed(nn.Module):
+    """Patch embedding as space-to-depth + matmul (reference:
+    image_encoder.py:379-409 uses a strided conv).
+
+    XLA lowers a stride-16 conv over a 3-channel image by padding the input
+    channel dim up to the vector lane width, wasting ~40x MXU work (measured
+    9.4 ms vs the 0.4 ms matmul floor for ViT-B @1024 batch 8 on v5e). The
+    reshape/transpose to (B, H/p, W/p, p*p*3) followed by a (768, 768)
+    matmul is mathematically identical and keeps the conv's HWIO parameter
+    layout, so torch checkpoint import is unchanged."""
+
+    embed_dim: int
+    patch_size: int = 16
+    in_chans: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p, c = self.patch_size, self.in_chans
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, c, self.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * c)
+        y = jnp.dot(x.astype(self.dtype),
+                    kernel.reshape(p * p * c, self.embed_dim).astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class ViTAttention(nn.Module):
     """ViT attention with optional decomposed rel-pos
     (reference: image_encoder.py:200-255)."""
@@ -106,14 +138,15 @@ class ViTAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         hw = h * w
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
-        qkv = qkv.reshape(b, hw, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (b, hw, heads, hd)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+                       name="qkv")(x)                  # (b, h, w, 3*dim)
+        qkv = qkv.reshape(b, hw, 3 * self.dim)
 
         if not self.use_rel_pos:
+            qkv5 = qkv.reshape(b, hw, 3, self.num_heads, head_dim)
+            q, k, v = jnp.moveaxis(qkv5, 2, 0)  # each (b, hw, heads, hd)
+            q = q.transpose(0, 2, 1, 3)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
             out = dot_product_attention(q, k, v)
             out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
             return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -126,28 +159,47 @@ class ViTAttention(nn.Module):
             "rel_pos_w", nn.initializers.zeros,
             (2 * self.input_size[1] - 1, head_dim),
         )
-        # factored rel-pos terms: tiny (BH, HW, H) / (BH, HW, W) tensors
-        rh_table = get_rel_pos(h, h, rel_pos_h)  # (H, H, hd)
-        rw_table = get_rel_pos(w, w, rel_pos_w)  # (W, W, hd)
-        bh = b * self.num_heads
-        q3 = q.reshape(bh, hw, head_dim)
-        k3 = k.reshape(bh, hw, head_dim)
-        v3 = v.reshape(bh, hw, head_dim)
-        r_q = q3.reshape(bh, h, w, head_dim)
-        rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh_table).reshape(bh, hw, h)
-        rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw_table).reshape(bh, hw, w)
+        # factored rel-pos terms: tiny (.., HW, H) / (.., HW, W) tensors.
+        # Cast the fp32 tables at use so the einsums (and the factored bias
+        # tensors fed to the kernel) stay in the compute dtype.
+        rh_table = get_rel_pos(h, h, rel_pos_h).astype(self.dtype)  # (H, H, hd)
+        rw_table = get_rel_pos(w, w, rel_pos_w).astype(self.dtype)  # (W, W, hd)
         scale = head_dim ** -0.5
 
         from ..ops.attention import _on_tpu
-        from ..ops.flash_attention import _BLOCK_Q, flash_attention_relpos
+        from ..ops.flash_attention import (_BLOCK_Q, _LOG2E,
+                                           flash_attention_relpos_packed)
 
         # _pick_block_q handles any hw divisible by 128 (or a single block)
         kernel_ok = hw % 128 == 0 or hw <= _BLOCK_Q
         if _on_tpu() and kernel_ok:
-            # fused Pallas kernel: bias reconstructed per VMEM tile, no
-            # quadratic HBM buffers (see ops/flash_attention.py)
-            out3 = flash_attention_relpos(q3, k3, v3, rel_h, rel_w, scale, (h, w))
+            # slot-major packed layout: ONE relayout copy replaces the
+            # reshape/moveaxis + per-tensor transposes of the unpacked path
+            # (measured ~2x the attention-kernel cost in HBM glue traffic);
+            # the Pallas kernel reads q/k/v blocks straight out of it.
+            packed = qkv.reshape(b, hw, 3 * self.num_heads, head_dim)
+            packed = packed.transpose(0, 2, 1, 3)  # (B, 3*heads, HW, hd)
+            q5 = packed[:, :self.num_heads].reshape(
+                b, self.num_heads, h, w, head_dim)
+            rel_h = jnp.einsum("bnyxc,ykc->bnyxk", q5, rh_table)
+            rel_w = jnp.einsum("bnyxc,xkc->bnyxk", q5, rw_table)
+            r = jnp.concatenate([
+                rel_h.reshape(b, self.num_heads, hw, h),
+                rel_w.reshape(b, self.num_heads, hw, w),
+            ], axis=-1) * jnp.asarray(_LOG2E, self.dtype)
+            out4 = flash_attention_relpos_packed(
+                packed, r, scale, (h, w), self.num_heads)
+            out = out4.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         else:
+            qkv5 = qkv.reshape(b, hw, 3, self.num_heads, head_dim)
+            q, k, v = jnp.moveaxis(qkv5, 2, 0)       # (b, hw, heads, hd)
+            bh = b * self.num_heads
+            q3 = q.transpose(0, 2, 1, 3).reshape(bh, hw, head_dim)
+            k3 = k.transpose(0, 2, 1, 3).reshape(bh, hw, head_dim)
+            v3 = v.transpose(0, 2, 1, 3).reshape(bh, hw, head_dim)
+            r_q = q3.reshape(bh, h, w, head_dim)
+            rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh_table).reshape(bh, hw, h)
+            rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw_table).reshape(bh, hw, w)
             s = jnp.einsum("bqd,bkd->bqk", q3, k3,
                            preferred_element_type=jnp.float32) * scale
             s = s.reshape(bh, hw, h, w)
@@ -155,9 +207,8 @@ class ViTAttention(nn.Module):
             s = s + rel_w.reshape(bh, hw, w)[:, :, None, :]
             p = jax.nn.softmax(s.reshape(bh, hw, hw), axis=-1).astype(v3.dtype)
             out3 = jnp.einsum("bqk,bkd->bqd", p, v3)
-
-        out = out3.reshape(b, self.num_heads, hw, head_dim)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+            out = out3.reshape(b, self.num_heads, hw, head_dim)
+            out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -230,16 +281,17 @@ class ImageEncoderViT(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, return_last_block_state: bool = False):
         grid = self.img_size // self.patch_size
-        x = nn.Conv(
-            self.embed_dim, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), dtype=self.dtype,
-            name="patch_embed",
+        x = PatchEmbed(
+            embed_dim=self.embed_dim, patch_size=self.patch_size,
+            in_chans=self.in_chans, dtype=self.dtype, name="patch_embed",
         )(x)
         if self.use_abs_pos:
             pos_embed = self.param(
                 "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim)
             )
-            x = x + pos_embed
+            # cast the fp32 param at use: adding it raw would promote the
+            # whole residual stream (and every downstream op) to fp32
+            x = x + pos_embed.astype(x.dtype)
 
         block_cls = ViTBlock
         if self.remat:

@@ -1,20 +1,41 @@
 """Pallas TPU attention kernels.
 
-Two kernels share one structure (score tile resident in VMEM, one-shot
-softmax per q-block — at SAM's sequence lengths (<= 4096 tokens) the full
-K/V of one (batch, head) slice fits in VMEM, so no streaming accumulator is
-needed):
+One kernel family serves both plain attention and SAM/ViTDet decomposed
+relative-position attention (reference: label_anything/models/
+image_encoder.py:340-376). At SAM's sequence lengths (<= 4096 tokens) the
+full K/V of one (batch, head) slice fits in VMEM, so no streaming
+accumulator is needed; short windowed sequences are batched G-per-grid-step
+instead.
 
-* ``flash_attention``: plain attention. Saves the HBM round-trip of the
-  (Q, K) score matrix.
-* ``flash_attention_relpos``: SAM/ViTDet global attention with decomposed
-  relative-position bias (reference: label_anything/models/image_encoder.py:
-  340-376). The naive formulation materializes TWO (B, heads, HW, HW) fp32
-  tensors (bias + scores) — 6.4 GB for ViT-B @1024px batch 8, an HBM OOM on
-  v5e. Here the bias is reconstructed per tile from the tiny factored terms
-  rel_h (BH, HW, H) and rel_w (BH, HW, W):
-      bias[q, (kh, kw)] = rel_h[q, kh] + rel_w[q, kw]
-  so nothing quadratic ever touches HBM.
+The naive rel-pos formulation materializes TWO (B, heads, HW, HW) fp32
+tensors (bias + scores) — 6.4 GB for ViT-B @1024px batch 8, an HBM OOM on
+v5e. Here the decomposed bias
+    bias[q, (kh, kw)] = rel_h[q, kh] + rel_w[q, kw]
+is reconstructed per VMEM tile by ONE skinny MXU matmul against a
+VMEM-resident one-hot expansion matrix (see ``_onehot_expand``), so nothing
+quadratic ever touches HBM.
+
+Softmax is VPU-bound at these shapes (the score tile has seq^2 elements but
+the matmuls only ~4*seq*d MACs per score row), so the kernels spend three
+more tricks on it:
+  1. exp -> exp2 with log2(e) pre-folded into q_aug: one fewer multiply
+     pass over the quadratic tile.
+  2. The softmax denominator is computed by the MXU, not the VPU: callers
+     append a ones column to V (``_augment_v``), so the PV matmul yields
+     ``[P@V | rowsum(P)]`` in one pass — the N dim was padding up to the
+     MXU tile anyway, making the extra column free.
+  3. Bounded-shift softmax: the shift uses a row-wise UPPER BOUND on the
+     score max — Cauchy-Schwarz ``||q_aug_i|| * max_j ||k_aug_j||`` — not
+     the exact max. Softmax is shift-invariant, so the result is identical
+     (numerator and denominator both scale by 2^-L); the bound keeps
+     exp2 <= 1 so nothing overflows, and the looseness L is a few exponent
+     units for LN-normalized activations — harmless in fp32. The payoff:
+     the exact max is a full VPU pass over the quadratic tile AND a
+     serialization barrier (exp cannot start until every score tile
+     exists). With a bound computed from the skinny (rows, d) operands,
+     each k-block's matmul -> exp2 -> PV chain is independent, so Mosaic
+     can overlap MXU matmuls with VPU exponentials across the unrolled
+     k-blocks instead of idling each engine in phases.
 
 Backward passes recompute with the XLA formulation (flash recompute-VJP);
 for rel-pos training the XLA path materializes the bias per-block — fine at
@@ -32,7 +53,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_Q = 256
+_BLOCK_Q = 512
+_BLOCK_K = 512
+_LOG2E = 1.4426950408889634  # exp(x) == exp2(x * log2(e))
 
 # Toggled by tests to run the kernels in Pallas interpret mode on CPU, so the
 # grid/block logic is covered without TPU hardware.
@@ -48,112 +71,160 @@ def _pick_block_q(q_len: int) -> int:
     ``q_len % 128 == 0``; short sequences run as one block."""
     if q_len <= _BLOCK_Q:
         return q_len
-    for cand in (_BLOCK_Q, 128):
+    for cand in (_BLOCK_Q, 256, 128):
         if q_len % cand == 0:
             return cand
     raise ValueError(f"flash attention requires q_len % 128 == 0, got {q_len}")
 
 
-# --------------------------------------------------------------------- #
-# plain attention
-# --------------------------------------------------------------------- #
-
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)          # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)          # (K, D)
-    v = v_ref[0]                              # (K, D)
-
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                  # (BQ, K)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
-
-
-def _pick_group(bh: int) -> int:
+def _pick_group(bh: int, tile_elems: int, budget: int = 2_000_000) -> int:
     """Rows per grid step for the short-sequence batched kernel: small
-    windows one-per-step drown in per-matmul latency (measured ~10ms for
-    SAM's 2400x196 windows); batching ~24 windows per step cut that ~25%."""
-    for cand in (24, 16, 12, 8, 6, 4, 3, 2):
-        if bh % cand == 0:
-            return cand
-    return 1
+    windows one-per-step drown in per-matmul latency; batching windows per
+    step amortizes it. Pick the largest divisor of ``bh`` whose fp32 score
+    tile (G * tile_elems) stays under ``budget`` elements (8 MB — Mosaic
+    needs ~2x the score tile of scoped VMEM stack for the softmax
+    intermediates plus double-buffered operand blocks, and the scoped
+    limit is 100 MB)."""
+    best = 1
+    for cand in range(2, bh + 1):
+        if bh % cand == 0 and cand * tile_elems <= budget:
+            best = cand
+    return best
 
 
-def _attn_kernel_batched(q_ref, k_ref, v_ref, o_ref):
-    """(G, N, D) blocks: scale pre-folded into q by the caller."""
+def _augment_v(v: jax.Array) -> jax.Array:
+    """Append a ones column: PV then yields [P@V | rowsum(P)] in one matmul."""
+    ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
+    return jnp.concatenate([v, ones], axis=-1)
+
+
+def _finish(o_aug: jax.Array, d: int, out_dtype) -> jax.Array:
+    """Split [P@V | denom] and normalize."""
+    return (o_aug[..., :d] / o_aug[..., d:d + 1]).astype(out_dtype)
+
+
+# --------------------------------------------------------------------- #
+# kernel bodies (q pre-scaled by scale*log2e, v ones-augmented;
+# the contraction dim of q/k may be bias-augmented — see module docstring)
+# --------------------------------------------------------------------- #
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, block_k: int):
+    q = q_ref[0].astype(jnp.float32)          # (BQ, Dc)
+    k = k_ref[0].astype(jnp.float32)          # (K, Dc)
+    v = v_ref[0]                              # (K, D+1)
+
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1)))
+    m = q_norm * k_norm                        # (BQ, 1) upper bound
+
+    k_len = k.shape[0]
+    o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
+    for kb in range(0, k_len, block_k):       # static offsets -> lax.slice
+        s = jax.lax.dot_general(
+            q, k[kb:kb + block_k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                      # (BQ, block_k), log2-scaled
+        p = jnp.exp2(s - m).astype(v.dtype)
+        o = o + jax.lax.dot_general(
+            p, v[kb:kb + block_k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                      # (BQ, D+1)
+    o_ref[0] = _finish(o, d, o_ref.dtype)
+
+
+def _attn_kernel_batched(q_ref, k_ref, v_ref, o_ref, *, d: int):
+    """(G, N, ...) blocks for short (windowed) sequences."""
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...]
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))     # (G, N, 1)
+    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1), axis=-1))  # (G,)
+    m = q_norm * k_norm[:, None, None]
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+    p = jnp.exp2(s - m).astype(v.dtype)
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    o_ref[...] = (o / denom).astype(o_ref.dtype)
+    o_ref[...] = _finish(o, d, o_ref.dtype)
 
 
-def _flash_fwd_impl(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    b, h, q_len, d = q.shape
-    k_len = k.shape[-2]
-    bh = b * h
-    q3 = q.reshape(bh, q_len, d)
-    k3 = k.reshape(bh, k_len, d)
-    v3 = v.reshape(bh, k_len, d)
+def _run_flash(q3: jax.Array, k3: jax.Array, v3: jax.Array, d: int) -> jax.Array:
+    """Dispatch the (BH, Q, Dc) x (BH, K, Dc) x (BH, K, D+1) kernels.
+
+    ``Dc`` is the (possibly bias-augmented) contraction dim; ``d`` the true
+    head dim of the output."""
+    bh, q_len, _ = q3.shape
+    k_len = k3.shape[1]
 
     if q_len <= _BLOCK_Q and q_len == k_len:
-        # short sequences (SAM windows): batch G rows per grid step
-        g = _pick_group(bh)
-        q3 = (q3.astype(jnp.float32) * scale).astype(q.dtype)
-        out = pl.pallas_call(
-            _attn_kernel_batched,
-            out_shape=jax.ShapeDtypeStruct((bh, q_len, d), v.dtype),
+        g = _pick_group(bh, q_len * k_len)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_batched, d=d),
+            out_shape=jax.ShapeDtypeStruct((bh, q_len, d), v3.dtype),
             grid=(bh // g,),
-            in_specs=[pl.BlockSpec((g, q_len, d), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)] * 3,
+            in_specs=[
+                pl.BlockSpec((g,) + q3.shape[1:], lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g,) + k3.shape[1:], lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g,) + v3.shape[1:], lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec((g, q_len, d), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=_INTERPRET,
         )(q3, k3, v3)
-        return out.reshape(b, h, q_len, d)
 
     block_q = _pick_block_q(q_len)
     assert q_len % block_q == 0, (q_len, block_q)
     grid = (bh, q_len // block_q)
+    block_k = _BLOCK_K if k_len % _BLOCK_K == 0 else k_len
+    dc = q3.shape[-1]
 
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, q_len, d), v.dtype),
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, d=d, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, q_len, d), v3.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dc), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_len, dc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_len, d + 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * q_len * k_len * d,
-            bytes_accessed=(q3.size + k3.size + v3.size + bh * q_len * d) * q.dtype.itemsize,
+            flops=2 * bh * q_len * k_len * (dc + d),
+            bytes_accessed=(q3.size + k3.size + v3.size + bh * q_len * d)
+            * q3.dtype.itemsize,
             transcendentals=bh * q_len * k_len,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(q3, k3, v3)
-    return out.reshape(b, h, q_len, d)
+
+
+# --------------------------------------------------------------------- #
+# plain attention
+# --------------------------------------------------------------------- #
+
+def _flash_fwd_impl(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    b, h, q_len, d = q.shape
+    k_len = k.shape[-2]
+    bh = b * h
+    q3 = (q.reshape(bh, q_len, d).astype(jnp.float32) * (scale * _LOG2E)
+          ).astype(q.dtype)
+    k3 = k.reshape(bh, k_len, d)
+    v3 = _augment_v(v.reshape(bh, k_len, d))
+    return _run_flash(q3, k3, v3, d).reshape(b, h, q_len, d)
 
 
 def _xla_ref(q, k, v, scale):
@@ -181,75 +252,97 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 # --------------------------------------------------------------------- #
-# fused decomposed rel-pos attention (SAM global attention)
+# fused decomposed rel-pos attention (SAM global + windowed attention)
 # --------------------------------------------------------------------- #
 
-def _onehot_expand(kh: int, kw: int):
+def _onehot_expand(kh: int, kw: int, dtype):
     """[e_h; e_w]: (Kh+Kw, Kh*Kw) one-hot rows so a SINGLE (BQ, Kh+Kw)
     matmul expands bias[q, kh*Kw+kw] = rh[q, kh] + rw[q, kw] onto the flat
     key axis (Mosaic cannot shape-cast the score tile to 3D; the combined
     matmul has a 128-wide inner dim for Kh=Kw=64, twice the MXU occupancy
-    of two separate 64-dim matmuls — measured ~16% faster global layers)."""
+    of two separate 64-dim matmuls). Built once in XLA, kept VMEM-resident
+    in the kernels via a constant index map.
+
+    An operand-augmentation variant ([q|rh|rw] @ [k|e_h|e_w].T in one
+    matmul) was measured SLOWER on v5e (9.5 vs 8.2 ms/layer for ViT-B@1024
+    batch 8): the widened contraction re-streams the one-hot columns
+    through the MXU for every q block and the k_aug materialization adds
+    HBM traffic, while the separate skinny bias matmul pipelines fine."""
     k_len = kh * kw
     lane = jax.lax.broadcasted_iota(jnp.int32, (kh, k_len), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (kh, k_len), 0)
-    e_h = (lane // kw == row).astype(jnp.float32)
+    e_h = (lane // kw == row).astype(dtype)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (kw, k_len), 1)
     row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, k_len), 0)
-    e_w = (lane_w % kw == row_w).astype(jnp.float32)
+    e_w = (lane_w % kw == row_w).astype(dtype)
     return jnp.concatenate([e_h, e_w], axis=0)
 
 
-def _relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
-                   *, kh: int, kw: int):
-    """Scale is pre-folded into q by the caller (saves one full elementwise
-    pass over the quadratic score tile)."""
+def _relpos_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *, d: int,
+                   rh_width: int, block_k: int):
+    """q pre-scaled by scale*log2e; r = [rel_h | rel_w] pre-scaled by log2e;
+    e = one-hot expansion (VMEM-resident); v ones-augmented. Bounded-shift
+    softmax (see module docstring): the bias bound is
+    ``rowmax(rel_h) + rowmax(rel_w)`` — tight separately, since the two
+    halves index independent key axes."""
     q = q_ref[0].astype(jnp.float32)           # (BQ, D)
     k = k_ref[0].astype(jnp.float32)           # (K, D)
-    v = v_ref[0]                               # (K, D)
-    r = jnp.concatenate([rh_ref[0], rw_ref[0]], axis=1).astype(jnp.float32)
+    v = v_ref[0]                               # (K, D+1)
+    r = r_ref[0].astype(jnp.float32)           # (BQ, Kh+Kw)
+    e = e_ref[...].astype(jnp.float32)         # (Kh+Kw, K)
 
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                           # (BQ, Kh*Kw)
-    s = s + jax.lax.dot_general(
-        r, _onehot_expand(kh, kw),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))      # (BQ, 1)
+    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1)))            # scalar
+    rh_max = jnp.max(r[:, :rh_width], axis=-1, keepdims=True)
+    rw_max = jnp.max(r[:, rh_width:], axis=-1, keepdims=True)
+    m = q_norm * k_norm + rh_max + rw_max                          # (BQ, 1)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
+    k_len = k.shape[0]
+    o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
+    for kb in range(0, k_len, block_k):       # static offsets -> lax.slice
+        s = jax.lax.dot_general(
+            q, k[kb:kb + block_k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                       # (BQ, block_k)
+        s = s + jax.lax.dot_general(
+            r, e[:, kb:kb + block_k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - m).astype(v.dtype)
+        o = o + jax.lax.dot_general(
+            p, v[kb:kb + block_k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                       # (BQ, D+1)
+    o_ref[0] = _finish(o, d, o_ref.dtype)
 
 
-def _relpos_kernel_batched(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
-                           *, kh: int, kw: int):
-    """(G, N, ...) blocks for short windows; scale pre-folded into q."""
+def _relpos_kernel_batched(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *,
+                           d: int, rh_width: int):
+    """(G, N, ...) blocks for short windows; same contract, no k-blocking
+    (the whole window is one key block)."""
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...]
-    r = jnp.concatenate(
-        [rh_ref[...], rw_ref[...]], axis=2).astype(jnp.float32)
+    r = r_ref[...].astype(jnp.float32)          # (G, N, Kh+Kw)
+    e = e_ref[...].astype(jnp.float32)          # (Kh+Kw, K)
+
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))     # (G, N, 1)
+    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1), axis=-1))  # (G,)
+    rh_max = jnp.max(r[..., :rh_width], axis=-1, keepdims=True)
+    rw_max = jnp.max(r[..., rh_width:], axis=-1, keepdims=True)
+    m = q_norm * k_norm[:, None, None] + rh_max + rw_max
+
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    s = s + jax.lax.dot_general(
-        r, _onehot_expand(kh, kw),
-        dimension_numbers=(((2,), (0,)), ((), ())),
+    s = s + jax.lax.dot_general(                # einsum('gnr,rk->gnk')
+        r, e, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+    p = jnp.exp2(s - m).astype(v.dtype)
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    o_ref[...] = (o / denom).astype(o_ref.dtype)
+    o_ref[...] = _finish(o, d, o_ref.dtype)
 
 
 def _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale: float,
@@ -258,54 +351,256 @@ def _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale: float,
     bh, q_len, d = q.shape
     kh, kw = grid_hw
     k_len = kh * kw
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # fold the scale
+    # fold scale and the exp->exp2 conversion into q and the bias factors
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    r = (jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
+         * _LOG2E).astype(q.dtype)              # (BH, HW, Kh+Kw)
+    e = _onehot_expand(kh, kw, q.dtype)         # (Kh+Kw, K), shared over BH
+    v = _augment_v(v)
+    rr = kh + kw
 
-    if q_len <= _BLOCK_Q:
-        g = _pick_group(bh)
+    if q_len <= _BLOCK_Q and q_len == k_len:
+        g = _pick_group(bh, q_len * k_len)
         return pl.pallas_call(
-            functools.partial(_relpos_kernel_batched, kh=kh, kw=kw),
-            out_shape=jax.ShapeDtypeStruct((bh, q_len, d), v.dtype),
+            functools.partial(_relpos_kernel_batched, d=d, rh_width=kh),
+            out_shape=jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
             grid=(bh // g,),
             in_specs=[
                 pl.BlockSpec((g, q_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((g, k_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, k_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, q_len, kh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, q_len, kw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, k_len, d + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, q_len, rr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rr, k_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((g, q_len, d), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=_INTERPRET,
-        )(q, k, v, rel_h, rel_w)
+        )(q, k, v, r, e)
 
     block_q = _pick_block_q(q_len)
     assert q_len % block_q == 0, (q_len, block_q)
     grid = (bh, q_len // block_q)
+    block_k = _BLOCK_K if k_len % _BLOCK_K == 0 else k_len
 
     return pl.pallas_call(
-        functools.partial(_relpos_kernel, kh=kh, kw=kw),
-        out_shape=jax.ShapeDtypeStruct((bh, q_len, d), v.dtype),
+        functools.partial(_relpos_kernel, d=d, rh_width=kh, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, kh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, kw), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_len, d + 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, rr), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rr, k_len), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * q_len * k_len * d,
-            bytes_accessed=(3 * bh * q_len * d + rel_h.size + rel_w.size)
-            * q.dtype.itemsize,
+            flops=4 * bh * q_len * k_len * d + 2 * bh * q_len * rr * k_len,
+            bytes_accessed=(3 * bh * q_len * d + r.size) * q.dtype.itemsize,
             transcendentals=bh * q_len * k_len,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(q, k, v, rel_h, rel_w)
+    )(q, k, v, r, e)
+
+
+def _relpos_kernel_packed(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
+                          scale: float, rh_width: int, block_k: int):
+    """Packed-layout variant: the three q/k/v refs are BlockSpec views into
+    ONE slot-major (B, 3*heads, N, dh) array (the qkv projection reshaped
+    once), so the caller performs NO per-tensor transposes — the measured
+    per-block cost of the reshape/moveaxis/transpose glue around the
+    unpacked kernel was ~2x the attention kernel itself on v5e. Scale and
+    log2(e) fold happen on the tiny q block in-kernel; the ones column for
+    the MXU denominator is concatenated onto v in VMEM (O(K) work)."""
+    q = qkv_q[0, 0].astype(jnp.float32) * (scale * _LOG2E)  # (BQ, dh)
+    k = qkv_k[0, 0].astype(jnp.float32)                     # (K, dh)
+    v = _augment_v(qkv_v[0, 0])                             # (K, dh+1)
+    r = r_ref[0, 0].astype(jnp.float32)                     # (BQ, Kh+Kw)
+    e = e_ref[...].astype(jnp.float32)                      # (Kh+Kw, K)
+    d = qkv_v.shape[-1]
+
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1)))
+    rh_max = jnp.max(r[:, :rh_width], axis=-1, keepdims=True)
+    rw_max = jnp.max(r[:, rh_width:], axis=-1, keepdims=True)
+    m = q_norm * k_norm + rh_max + rw_max
+
+    k_len = k.shape[0]
+    o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
+    for kb in range(0, k_len, block_k):
+        s = jax.lax.dot_general(
+            q, k[kb:kb + block_k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            r, e[:, kb:kb + block_k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - m).astype(v.dtype)
+        o = o + jax.lax.dot_general(
+            p, v[kb:kb + block_k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = _finish(o, d, o_ref.dtype)
+
+
+def _relpos_kernel_packed_batched(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
+                                  scale: float, rh_width: int):
+    """(G, 1, N, ...) short-window blocks of the packed layout."""
+    q = qkv_q[:, 0].astype(jnp.float32) * (scale * _LOG2E)  # (G, N, dh)
+    k = qkv_k[:, 0].astype(jnp.float32)
+    v = _augment_v(qkv_v[:, 0])
+    r = r_ref[:, 0].astype(jnp.float32)                     # (G, N, Kh+Kw)
+    e = e_ref[...].astype(jnp.float32)
+    d = qkv_v.shape[-1]
+
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1), axis=-1))
+    rh_max = jnp.max(r[..., :rh_width], axis=-1, keepdims=True)
+    rw_max = jnp.max(r[..., rh_width:], axis=-1, keepdims=True)
+    m = q_norm * k_norm[:, None, None] + rh_max + rw_max
+
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(
+        r, e, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = jnp.exp2(s - m).astype(v.dtype)
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[:, 0] = _finish(o, d, o_ref.dtype)
+
+
+def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
+                     grid_hw: Tuple[int, int], heads: int) -> jax.Array:
+    """Fused rel-pos attention on a slot-major packed qkv tensor.
+
+    Args:
+      qkv: (B, 3*heads, N, dh) — the qkv projection output reshaped
+        (B, N, 3, heads, dh) -> transposed to slot-major; slot t*heads+h
+        holds tensor t (0=q, 1=k, 2=v) of head h.
+      r: (B, heads, N, Kh+Kw) — factored rel-pos bias [rel_h | rel_w],
+        already multiplied by log2(e).
+      scale: attention scale (1/sqrt(dh)); log2(e) is folded in-kernel.
+      grid_hw: token grid (Kh, Kw) with Kh*Kw == N.
+      heads: number of attention heads.
+
+    Returns:
+      (B, heads, N, dh) attention output (head-major; callers transpose
+      once back to token-major for the output projection).
+    """
+    b, slots, n, dh = qkv.shape
+    assert slots == 3 * heads, (slots, heads)
+    kh, kw = grid_hw
+    rr = kh + kw
+    e = _onehot_expand(kh, kw, qkv.dtype)
+
+    if n <= _BLOCK_Q and n == kh * kw:
+        g = _pick_group(b, n * n)  # per-step scores: (g, n, n) for ONE head
+        grid = (b // g, heads)
+        return pl.pallas_call(
+            functools.partial(_relpos_kernel_packed_batched, scale=scale,
+                              rh_width=kh),
+            out_shape=jax.ShapeDtypeStruct((b, heads, n, dh), qkv.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g, 1, n, dh), lambda i, h: (i, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, 1, n, dh),
+                             lambda i, h: (i, heads + h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, 1, n, dh),
+                             lambda i, h: (i, 2 * heads + h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, 1, n, rr), lambda i, h: (i, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rr, n), lambda i, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((g, 1, n, dh), lambda i, h: (i, h, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_INTERPRET,
+        )(qkv, qkv, qkv, r, e)
+
+    block_q = _pick_block_q(n)
+    assert n % block_q == 0, (n, block_q)
+    block_k = _BLOCK_K if n % _BLOCK_K == 0 else n
+    grid = (b, heads, n // block_q)
+
+    return pl.pallas_call(
+        functools.partial(_relpos_kernel_packed, scale=scale, rh_width=kh,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((b, heads, n, dh), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, dh), lambda i, h, j: (i, heads + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, dh),
+                         lambda i, h, j: (i, 2 * heads + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, rr), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rr, n), lambda i, h, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, dh),
+                               lambda i, h, j: (i, h, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * n * dh + 2 * b * heads * n * rr * n,
+            bytes_accessed=(qkv.size + r.size) * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(qkv, qkv, qkv, r, e)
+
+
+def _packed_xla_ref(qkv, r, scale, grid_hw, heads):
+    """XLA recompute of the packed kernel (backward + CPU fallback)."""
+    kh, kw = grid_hw
+    q = qkv[:, :heads]
+    k = qkv[:, heads:2 * heads]
+    v = qkv[:, 2 * heads:]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    bias = (r.astype(jnp.float32) / _LOG2E)  # r carries the log2e fold
+    bias = (bias[..., :kh, None] + bias[..., None, kh:]
+            ).reshape(s.shape[:3] + (kh * kw,))
+    p = jax.nn.softmax(s + bias, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def flash_attention_relpos_packed(qkv, r, scale: float,
+                                  grid_hw: Tuple[int, int], heads: int):
+    """See :func:`_packed_fwd_impl`; differentiable via XLA recompute."""
+    return _packed_fwd_impl(qkv, r, scale, grid_hw, heads)
+
+
+def _packed_fwd(qkv, r, scale, grid_hw, heads):
+    return _packed_fwd_impl(qkv, r, scale, grid_hw, heads), (qkv, r)
+
+
+def _packed_bwd(scale, grid_hw, heads, res, g):
+    qkv, r = res
+    _, vjp = jax.vjp(
+        lambda a, b: _packed_xla_ref(a, b, scale, grid_hw, heads), qkv, r)
+    return vjp(g)
+
+
+flash_attention_relpos_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
 def _relpos_xla_ref(q, k, v, rel_h, rel_w, scale, grid_hw):

@@ -103,3 +103,65 @@ def test_flash_relpos_interpret_matches_xla(grid_hw):
     ref = fa._relpos_xla_ref(q, k, v, rel_h, rel_w, d ** -0.5, grid_hw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("case", ["window", "global"])
+def test_flash_relpos_packed_interpret_matches_xla(case):
+    """Packed slot-major qkv kernel (both the batched window branch and the
+    blocked long-sequence branch) vs the XLA reference."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    if case == "window":
+        b, heads, kh, kw, d = 4, 2, 14, 14, 32
+    else:
+        b, heads, kh, kw, d = 1, 2, 24, 24, 32  # 576 tokens > _BLOCK_Q
+    n = kh * kw
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(
+        rng.standard_normal((b, 3 * heads, n, d)).astype(np.float32))
+    r = jnp.asarray(
+        rng.standard_normal((b, heads, n, kh + kw)).astype(np.float32))
+    old_i, old_bq = fa._INTERPRET, fa._BLOCK_Q
+    fa._INTERPRET = True
+    if case == "global":
+        fa._BLOCK_Q = 288  # force the blocked branch (576 = 2 q-blocks)
+    try:
+        out = fa.flash_attention_relpos_packed(qkv, r, d ** -0.5, (kh, kw),
+                                               heads)
+    finally:
+        fa._INTERPRET, fa._BLOCK_Q = old_i, old_bq
+    ref = fa._packed_xla_ref(qkv, r, d ** -0.5, (kh, kw), heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_relpos_packed_grad():
+    """The packed kernel is differentiable (XLA-recompute VJP)."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    b, heads, kh, kw, d = 2, 2, 4, 4, 8
+    n = kh * kw
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(
+        rng.standard_normal((b, 3 * heads, n, d)).astype(np.float32))
+    r = jnp.asarray(
+        rng.standard_normal((b, heads, n, kh + kw)).astype(np.float32))
+
+    def loss_kernel(qkv, r):
+        old = fa._INTERPRET
+        fa._INTERPRET = True
+        try:
+            return jnp.sum(fa.flash_attention_relpos_packed(
+                qkv, r, d ** -0.5, (kh, kw), heads) ** 2)
+        finally:
+            fa._INTERPRET = old
+
+    def loss_ref(qkv, r):
+        return jnp.sum(fa._packed_xla_ref(qkv, r, d ** -0.5, (kh, kw),
+                                          heads) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1))(qkv, r)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(qkv, r)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)

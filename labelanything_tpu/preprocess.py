@@ -28,6 +28,20 @@ from .data.transforms import PromptsProcessor, preprocess_image
 from .models.registry import model_registry
 from .utils.logging import get_logger
 
+
+def save_st(tensors: dict, path: str) -> None:
+    """safetensors save with contiguity enforcement.
+
+    ``safetensors.numpy.save_file`` serializes the RAW UNDERLYING buffer of
+    each array: a non-contiguous view (e.g. the HWC->CHW ``transpose(2,0,1)``
+    used for reference-compatible embeddings) saves SCRAMBLED data with the
+    transposed shape — silently. Every write in this module goes through
+    here. Regression-tested in tests/test_preprocess_pipeline.py."""
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()}, path)
+
+
 logger = get_logger(__name__)
 
 
@@ -70,7 +84,6 @@ def preprocess_images_to_embeddings(
     os.makedirs(outfolder, exist_ok=True)
     if last_block_dir:
         os.makedirs(last_block_dir, exist_ok=True)
-    from safetensors.numpy import save_file
 
     encoder = model_registry[encoder_name](
         project_last_hidden=not last_block_dir or True, dtype=dtype,
@@ -93,8 +106,23 @@ def preprocess_images_to_embeddings(
 
     want_last_block = last_block_dir is not None
 
+    # Host->device traffic runs uint8 (4x less than fp32 pixels — this is
+    # the bottleneck on tunneled/remote devices); normalization happens on
+    # device inside the jit, with the bottom-right pad region forced to
+    # EXACTLY zero to match CustomNormalize (pad-after-normalize) semantics
+    # (reference: transforms.py:27-46).
+    from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
     @jax.jit
-    def encode(params, x):
+    def encode(params, x_u8, hw):
+        x = x_u8.astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        yy = jnp.arange(image_size)[None, :, None, None]
+        xx = jnp.arange(image_size)[None, None, :, None]
+        valid = (yy < hw[:, 0, None, None, None]) & (xx < hw[:, 1, None, None, None])
+        x = jnp.where(valid, x, 0.0)
         if want_last_block:
             out = encoder.apply(params, x, return_last_block_state=True)
             return out["last_hidden_state"], out["last_block_state"]
@@ -105,37 +133,37 @@ def preprocess_images_to_embeddings(
         files = files[:limit]
     logger.info("encoding %d images", len(files))
 
+    from .data.transforms import CustomResize
+
     def load_one(item):
+        """Decode + resize + pad on host, uint8; normalize runs on device."""
         image_id, path = item
-        arr, _ = preprocess_image(Image.open(path), image_size, custom_preprocess)
-        return image_id, arr
+        img = Image.open(path)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if custom_preprocess:
+            img = CustomResize(image_size)(img)
+        else:
+            img = img.resize((image_size, image_size), Image.BILINEAR)
+        arr = np.asarray(img, np.uint8)
+        h, w = arr.shape[:2]
+        out = np.zeros((image_size, image_size, 3), np.uint8)
+        out[:h, :w] = arr
+        return image_id, out, (h, w)
 
     io_pool = ThreadPoolExecutor(num_workers)
     write_pool = ThreadPoolExecutor(4)
 
     def write_one(image_id, emb, last_block=None):
         name = f"{str(image_id).zfill(12)}.safetensors"
-        save_file({"embedding": np.asarray(emb, np.float32).transpose(2, 0, 1)},
+        save_st({"embedding": np.asarray(emb, np.float32).transpose(2, 0, 1)},
                   os.path.join(outfolder, name))
         if last_block is not None:
-            save_file({"embedding": np.asarray(last_block, np.float32)
+            save_st({"embedding": np.asarray(last_block, np.float32)
                       .transpose(2, 0, 1)},
                       os.path.join(last_block_dir, name))
 
-    t0 = time.time()
-    done = 0
-    batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
-    loaded_iter = iter(io_pool.map(
-        lambda chunk: [load_one(it) for it in chunk], batches))
-    pending = []
-    for chunk in loaded_iter:
-        ids = [c[0] for c in chunk]
-        arrs = np.stack([c[1] for c in chunk])
-        pad = batch_size - len(ids)
-        if pad:
-            arrs = np.concatenate([arrs, np.zeros((pad,) + arrs.shape[1:],
-                                                  arrs.dtype)])
-        out = encode(params, jnp.asarray(arrs))
+    def fetch_and_queue(ids, out, pending):
         if want_last_block:
             hidden, last_block = out
         else:
@@ -146,10 +174,34 @@ def preprocess_images_to_embeddings(
             pending.append(write_pool.submit(
                 write_one, image_id, hidden[i],
                 lb[i] if lb is not None else None))
+
+    t0 = time.time()
+    done = 0
+    batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
+    loaded_iter = iter(io_pool.map(
+        lambda chunk: [load_one(it) for it in chunk], batches))
+    pending = []
+    in_flight = None  # (ids, device arrays): dispatch batch n+1 BEFORE
+    # fetching batch n so device compute overlaps the host fetch + writes
+    for chunk in loaded_iter:
+        ids = [c[0] for c in chunk]
+        arrs = np.stack([c[1] for c in chunk])
+        hws = np.asarray([c[2] for c in chunk], np.int32)
+        pad = batch_size - len(ids)
+        if pad:
+            arrs = np.concatenate([arrs, np.zeros((pad,) + arrs.shape[1:],
+                                                  arrs.dtype)])
+            hws = np.concatenate([hws, np.zeros((pad, 2), np.int32)])
+        out = encode(params, jnp.asarray(arrs), jnp.asarray(hws))
+        if in_flight is not None:
+            fetch_and_queue(*in_flight, pending)
+        in_flight = (ids, out)
         done += len(ids)
         if done % (batch_size * 10) < batch_size:
             rate = done / (time.time() - t0)
             logger.info("%d/%d images (%.1f img/s)", done, len(files), rate)
+    if in_flight is not None:
+        fetch_and_queue(*in_flight, pending)
     for f in pending:
         f.result()
     rate = done / (time.time() - t0)
@@ -205,7 +257,6 @@ def preprocess_images_to_embeddings_huggingface(
     params = merge_into_params(params, convert_hf_vit_state_dict(weights))
 
     encode = jax.jit(encoder.apply)
-    from safetensors.numpy import save_file
 
     os.makedirs(outfolder, exist_ok=True)
     files = _image_files(instances_path, directory)
@@ -229,7 +280,7 @@ def preprocess_images_to_embeddings_huggingface(
                 (batch_size - len(ids),) + arrs.shape[1:], arrs.dtype)])
         out = np.asarray(encode(params, jnp.asarray(arrs)), np.float32)
         for i, image_id in enumerate(ids):
-            save_file({"embedding": out[i].transpose(2, 0, 1)},
+            save_st({"embedding": out[i].transpose(2, 0, 1)},
                       os.path.join(outfolder,
                                    f"{str(image_id).zfill(12)}.safetensors"))
         done += len(ids)
@@ -248,7 +299,6 @@ def preprocess_clip(clip_model_path: str, directory: str,
     import torch
     from transformers import CLIPImageProcessor, CLIPVisionModel
 
-    from safetensors.numpy import save_file
 
     model = CLIPVisionModel.from_pretrained(clip_model_path).eval()
     processor = CLIPImageProcessor.from_pretrained(clip_model_path)
@@ -263,7 +313,7 @@ def preprocess_clip(clip_model_path: str, directory: str,
             inputs = processor(images=images, return_tensors="pt")
             out = model(**inputs).last_hidden_state.numpy()
             for (image_id, _), emb in zip(chunk, out):
-                save_file({"clip_embedding": emb},
+                save_st({"clip_embedding": emb},
                           os.path.join(outfolder,
                                        f"{str(image_id).zfill(12)}.safetensors"))
     logger.info("clip embeddings written for %d images", len(files))
@@ -273,7 +323,7 @@ def generate_ground_truths(dataset_name: str, anns_path: str, outfolder: str,
                            custom_preprocess: bool = True):
     """Inject per-image GT maps into existing safetensors caches
     (reference: preprocess.py:28-50)."""
-    from safetensors.numpy import load_file, save_file
+    from safetensors.numpy import load_file
 
     with open(anns_path) as f:
         anns = json.load(f)
@@ -292,7 +342,7 @@ def generate_ground_truths(dataset_name: str, anns_path: str, outfolder: str,
                             f"{str(image['id']).zfill(12)}.safetensors")
         loaded = dict(load_file(path))
         loaded[f"{dataset_name}_gt"] = gt
-        save_file(loaded, path)
+        save_st(loaded, path)
 
 
 def preprocess_images_to_feature_pyramids(
@@ -319,7 +369,6 @@ def preprocess_images_to_feature_pyramids(
     import jax
     import jax.numpy as jnp
 
-    from safetensors.numpy import save_file
 
     from .models.build_encoder import ENCODERS
 
@@ -387,7 +436,7 @@ def preprocess_images_to_feature_pyramids(
             arrs.append(arrs[-1])
         stages = run(arrs)
         for i, (image_id, _) in enumerate(chunk[:n_real]):
-            save_file({name: fm[i] for name, fm in stages.items()},
+            save_st({name: fm[i] for name, fm in stages.items()},
                       os.path.join(outfolder,
                                    f"{str(image_id).zfill(12)}.safetensors"))
     logger.info("pyramids written for %d images", len(files))

@@ -256,34 +256,76 @@ def preprocess_images_to_embeddings_huggingface(
         raise FileNotFoundError(f"no weights under {ckpt}")
     params = merge_into_params(params, convert_hf_vit_state_dict(weights))
 
-    encode = jax.jit(encoder.apply)
+    # same uint8-upload + device-normalize + double-buffered dispatch as the
+    # SAM path (see preprocess_images_to_embeddings)
+    from .data.transforms import IMAGENET_MEAN, IMAGENET_STD, CustomResize
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    @jax.jit
+    def encode(params, x_u8, hw):
+        x = x_u8.astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        yy = jnp.arange(image_resolution)[None, :, None, None]
+        xx = jnp.arange(image_resolution)[None, None, :, None]
+        valid = (yy < hw[:, 0, None, None, None]) & (xx < hw[:, 1, None, None, None])
+        return encoder.apply(params, jnp.where(valid, x, 0.0))
 
     os.makedirs(outfolder, exist_ok=True)
     files = _image_files(instances_path, directory)
     if limit:
         files = files[:limit]
     io_pool = ThreadPoolExecutor(num_workers)
+    write_pool = ThreadPoolExecutor(4)
 
     def load_one(item):
         image_id, path = item
-        arr, _ = preprocess_image(Image.open(path), image_resolution,
-                                  custom_preprocess)
-        return image_id, arr
+        img = Image.open(path)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if custom_preprocess:
+            img = CustomResize(image_resolution)(img)
+        else:
+            img = img.resize((image_resolution, image_resolution),
+                             Image.BILINEAR)
+        arr = np.asarray(img, np.uint8)
+        h, w = arr.shape[:2]
+        out = np.zeros((image_resolution, image_resolution, 3), np.uint8)
+        out[:h, :w] = arr
+        return image_id, out, (h, w)
+
+    def write_one(image_id, emb):
+        save_st({"embedding": np.asarray(emb, np.float32).transpose(2, 0, 1)},
+                os.path.join(outfolder,
+                             f"{str(image_id).zfill(12)}.safetensors"))
+
+    def fetch_and_queue(ids, out, pending):
+        out = np.asarray(out)
+        for i, image_id in enumerate(ids):
+            pending.append(write_pool.submit(write_one, image_id, out[i]))
 
     t0, done = time.time(), 0
     batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
+    pending = []
+    in_flight = None
     for chunk in io_pool.map(lambda c: [load_one(it) for it in c], batches):
         ids = [c[0] for c in chunk]
         arrs = np.stack([c[1] for c in chunk])
+        hws = np.asarray([c[2] for c in chunk], np.int32)
         if len(ids) < batch_size:
+            pad = batch_size - len(ids)
             arrs = np.concatenate([arrs, np.zeros(
-                (batch_size - len(ids),) + arrs.shape[1:], arrs.dtype)])
-        out = np.asarray(encode(params, jnp.asarray(arrs)), np.float32)
-        for i, image_id in enumerate(ids):
-            save_st({"embedding": out[i].transpose(2, 0, 1)},
-                      os.path.join(outfolder,
-                                   f"{str(image_id).zfill(12)}.safetensors"))
+                (pad,) + arrs.shape[1:], arrs.dtype)])
+            hws = np.concatenate([hws, np.zeros((pad, 2), np.int32)])
+        out = encode(params, jnp.asarray(arrs), jnp.asarray(hws))
+        if in_flight is not None:
+            fetch_and_queue(*in_flight, pending)
+        in_flight = (ids, out)
         done += len(ids)
+    if in_flight is not None:
+        fetch_and_queue(*in_flight, pending)
+    for f in pending:
+        f.result()
     rate = done / (time.time() - t0)
     logger.info("hf embeddings: %d images at %.2f images/sec", done, rate)
     return rate

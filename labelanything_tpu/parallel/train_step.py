@@ -50,6 +50,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     num_classes: Optional[int] = None,
+    state_shardings: Optional[Any] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -108,13 +109,17 @@ def make_train_step(
     # per static apply_update value, dispatched by a thin wrapper.
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    # state_shardings (a TrainState-shaped pytree of NamedShardings, see
+    # parallel/tp.py) tensor-parallel-shards params/accum/optimizer moments
+    # over the mesh's "model" axis; default = fully replicated (pure DP).
+    state_sh = state_shardings if state_shardings is not None else repl
 
     def make(apply_update: bool):
         return jax.jit(
             functools.partial(step_fn, apply_update=apply_update),
             donate_argnums=(0,),
-            in_shardings=(repl, data, data, repl, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data, data, repl, repl),
+            out_shardings=(state_sh, repl),
         )
 
     compiled = {True: make(True), False: make(False)}

@@ -205,3 +205,63 @@ def test_metrics_math():
     preds2 = jnp.asarray([[[0, 0], [2, 1]]])
     cm3 = binary_confusion_matrix(preds2, target)
     assert np.isclose(float(fb_iou(cm3)), 2 / 3)
+
+
+def test_tensor_parallel_train_step_matches_replicated():
+    """Megatron MLP tensor parallelism over the mesh "model" axis: a (4, 2)
+    (data, model) TP step must produce the same loss and updated params as
+    the fully-replicated (8, 1) step (parallel/tp.py)."""
+    from labelanything_tpu.parallel import tp
+
+    model = tiny_model()
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}})
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=8, num_examples=1, num_classes=C,
+        image_size=IMAGE_SIZE, embed_dim=32,
+    ))
+    sub = Substitutor(num_points=1, substitute=False)
+    sub.reset(full)
+    input_dict, gt = next(sub)
+
+    params_model = jax.jit(model.init)(jax.random.key(0), input_dict)
+    dummy_result = {
+        ResultDict.LOGITS: jnp.zeros((8, C, IMAGE_SIZE, IMAGE_SIZE)),
+        ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros((8, 1, C, 32)),
+        BatchKeys.FLAG_EXAMPLES: input_dict[BatchKeys.FLAG_EXAMPLES],
+    }
+    params = {"model": params_model,
+              "loss": loss.init(jax.random.key(1), dummy_result, gt)}
+    tx = build_optimizer(params, name="AdamW", learning_rate=1e-3)
+
+    results = {}
+    for name, (dp, mp) in {"replicated": (8, 1), "tp": (4, 2)}.items():
+        mesh = create_mesh(data=dp, model=mp)
+        # the step donates the state, so give each run its own param buffers
+        state = init_train_state(jax.tree.map(jnp.array, params), tx)
+        if mp > 1:
+            shardings = tp.state_shardings(state, mesh)
+            # the spec tree must actually shard something over "model"
+            specs = [s.spec for s in jax.tree.leaves(shardings)]
+            assert any("model" in (ax for axes in s if axes for ax in
+                       ((axes,) if isinstance(axes, str) else axes))
+                       for s in specs if s), "no TP-sharded leaves matched"
+            state = tp.shard_tree(state, mesh)
+            step = make_train_step(model, loss, tx, mesh=mesh, num_classes=C,
+                                   state_shardings=shardings)
+        else:
+            step = make_train_step(model, loss, tx, mesh=mesh, num_classes=C)
+        new_state, aux = step(
+            state, shard_batch(input_dict, mesh),
+            jax.device_put(gt, NamedSharding(mesh, P("data"))),
+            jax.random.key(2), 1.0, apply_update=True)
+        results[name] = (
+            float(aux["loss"]),
+            np.asarray(jax.device_get(
+                new_state.params["model"]["params"]["mask_decoder"]
+                ["transformer"]["layers_0"]["mlp"]["lin1"]["kernel"])),
+        )
+
+    np.testing.assert_allclose(results["tp"][0], results["replicated"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results["tp"][1], results["replicated"][1],
+                               rtol=1e-4, atol=1e-6)

@@ -206,14 +206,26 @@ def rename_coco20i_json_cmd(instances_path):
 
 @main.command("benchmark")
 @click.option("--mode", default="decode", type=click.Choice(["decode", "vit"]))
-def benchmark_cmd(mode):
-    """Model throughput benchmark (episodes/sec or images/sec)."""
-    import json as _json
-    import subprocess
-    import sys
+@click.option("--batch", default=None, type=int)
+@click.option("--steps", default=None, type=int)
+@click.option("--reps", default=3, type=int)
+def benchmark_cmd(mode, batch, steps, reps):
+    """Model throughput benchmark (episodes/sec or images/sec).
 
-    print(_json.dumps({"note": "see bench.py"}))
-    subprocess.run([sys.executable, "bench.py", "--mode", mode], check=True)
+    Reference's ``benchmark`` verb times a toy MLP (reference:
+    cli.py:287-327); this one runs the production paths in
+    labelanything_tpu.benchmarks."""
+    import json as _json
+
+    from .benchmarks import bench_decode, bench_vit
+
+    kw = {"reps": reps}
+    if batch:
+        kw["batch_size"] = batch
+    if steps:
+        kw["steps"] = steps
+    result = bench_vit(**kw) if mode == "vit" else bench_decode(**kw)
+    print(_json.dumps(result))
 
 
 @main.command("app")

@@ -19,21 +19,23 @@ BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["vit", "decode"], default="vit")
+    ap.add_argument("--mode", choices=["vit", "decode", "train"], default="vit")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
-    from labelanything_tpu.benchmarks import bench_decode, bench_vit
+    from labelanything_tpu.benchmarks import (bench_decode, bench_train,
+                                              bench_vit)
 
     kw = {"reps": args.reps}
     if args.batch:
         kw["batch_size"] = args.batch
     if args.steps:
         kw["steps"] = args.steps
-    result = bench_vit(**kw) if args.mode == "vit" else bench_decode(**kw)
+    fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train}
+    result = fns[args.mode](**kw)
 
     baselines = {}
     if BASELINE_FILE.exists():

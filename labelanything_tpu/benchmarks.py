@@ -162,3 +162,75 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48, reps=
     }
 
 
+def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
+                reps=3):
+    """Full training step throughput on the flagship lam_no_vit config:
+    forward + focal loss + backward + AdamW update (the reference's hot loop,
+    reference: experiment/run.py:425-590). The chained TrainState (donated)
+    is the cross-step dependency; one scalar fetch per rep syncs."""
+    from labelanything_tpu.data.synthetic import random_full_batch
+    from labelanything_tpu.models.build_lam import build_lam_no_vit
+    from labelanything_tpu.parallel.train_step import (init_train_state,
+                                                       make_train_step)
+    from labelanything_tpu.train.losses import LabelAnythingLoss
+    from labelanything_tpu.train.optim import build_optimizer
+    from labelanything_tpu.train.substitutor import Substitutor
+    from labelanything_tpu.typing import BatchKeys, ResultDict
+
+    c = ways + 1
+    model = build_lam_no_vit(
+        image_embed_dim=768, embed_dim=256, image_size=image_size,
+        class_encoder={"name": "RandomMatrixEncoder", "bank_size": 100},
+        dtype=jnp.bfloat16,
+    )
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}},
+                             class_weighting=True)
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=batch_size, num_examples=shots, num_classes=c,
+        image_size=image_size, embed_dim=768,
+    ))
+    sub = Substitutor(num_points=1, substitute=False)
+    sub.reset(full)
+    batch, gt = next(sub)
+
+    params = {
+        "model": jax.jit(model.init)(jax.random.key(0), batch),
+        "loss": loss.init(jax.random.key(1), {
+            ResultDict.LOGITS: jnp.zeros(
+                (batch_size, c, image_size, image_size)),
+            ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros(
+                (batch_size, shots, c, 256)),
+            BatchKeys.FLAG_EXAMPLES: batch[BatchKeys.FLAG_EXAMPLES],
+        }, gt),
+    }
+    tx = build_optimizer(params, name="AdamW", learning_rate=5e-5)
+    state = init_train_state(params, tx)
+    train_step = make_train_step(model, loss, tx)
+
+    def run(state, i):
+        return train_step(state, batch, gt, jax.random.key(0), 1.0,
+                          apply_update=True)
+
+    # warmup: compile + 2 steps
+    for i in range(2):
+        state, aux = run(state, i)
+    assert np.isfinite(float(aux["loss"])), "non-finite warmup loss"
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, aux = run(state, i)
+        _ = float(aux["loss"])  # single sync per rep (states chain)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med else 0.0
+    return {
+        "metric": (f"train episodes/sec ({ways}-way {shots}-shot, "
+                   f"{image_size}px, bf16, fwd+bwd+AdamW)"),
+        "value": round(batch_size * steps / med, 2),
+        "unit": "episodes/sec",
+        "spread": round(spread, 3),
+    }
+
+

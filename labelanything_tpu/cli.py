@@ -205,7 +205,8 @@ def rename_coco20i_json_cmd(instances_path):
 
 
 @main.command("benchmark")
-@click.option("--mode", default="decode", type=click.Choice(["decode", "vit"]))
+@click.option("--mode", default="decode",
+              type=click.Choice(["decode", "vit", "train"]))
 @click.option("--batch", default=None, type=int)
 @click.option("--steps", default=None, type=int)
 @click.option("--reps", default=3, type=int)
@@ -217,14 +218,15 @@ def benchmark_cmd(mode, batch, steps, reps):
     labelanything_tpu.benchmarks."""
     import json as _json
 
-    from .benchmarks import bench_decode, bench_vit
+    from .benchmarks import bench_decode, bench_train, bench_vit
 
     kw = {"reps": reps}
     if batch:
         kw["batch_size"] = batch
     if steps:
         kw["steps"] = steps
-    result = bench_vit(**kw) if mode == "vit" else bench_decode(**kw)
+    fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train}
+    result = fns[mode](**kw)
     print(_json.dumps(result))
 
 

@@ -30,14 +30,26 @@ def _safe_target(target: jax.Array) -> jax.Array:
     return jnp.where(_valid_mask(target), target, 0)
 
 
+def _class_onehot(target: jax.Array, num_classes: int) -> jax.Array:
+    """(B, C, H, W) one-hot of the (ignore-safe) target by lane comparison.
+
+    Per-pixel gathers (``take_along_axis`` over the class axis,
+    ``table[tgt]`` weight lookups) lower to scalarized gather loops on TPU —
+    measured 36 ms of a 41 ms train step at (8, 6, 480, 480). A broadcast
+    compare + contraction is pure VPU work and costs <1 ms."""
+    tgt = _safe_target(target)
+    classes = jnp.arange(num_classes, dtype=tgt.dtype)
+    return (tgt[:, None] == classes[None, :, None, None]).astype(jnp.float32)
+
+
 def cross_entropy_per_pixel(logits: jax.Array, target: jax.Array) -> jax.Array:
     """Per-pixel CE with -inf-safe log-softmax; ignored pixels return 0."""
     valid = _valid_mask(target)
-    tgt = _safe_target(target)
     # -inf logits (masked classes / padding) must not poison the logsumexp
     logits = jnp.maximum(logits, jnp.finfo(logits.dtype).min)
     logp = jax.nn.log_softmax(logits, axis=1)
-    ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+    oh = _class_onehot(target, logits.shape[1])
+    ce = -(logp * oh).sum(axis=1)
     return jnp.where(valid, ce, 0.0)
 
 
@@ -49,14 +61,15 @@ def get_weight_matrix_from_labels(
     Returns (weight_matrix (B, H, W), class_weights (C,)).
     """
     valid = _valid_mask(target)
-    tgt = _safe_target(target)
-    onehot = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
-    onehot = onehot * valid[..., None]
-    counts = onehot.sum(axis=tuple(range(onehot.ndim - 1)))  # (C,)
+    onehot = _class_onehot(target, num_classes)          # (B, C, H, W)
+    onehot = onehot * valid[:, None]
+    counts = onehot.sum(axis=(0, 2, 3))                   # (C,)
     total = counts.sum()
     freq_w = 1.0 / jnp.log(1.1 + counts / jnp.maximum(total, 1.0))
     class_weights = jnp.where(counts > 0, freq_w, 1.0)
-    weight_matrix = class_weights[tgt] * valid
+    # per-pixel lookup as a one-hot contraction (no TPU-hostile gather)
+    weight_matrix = (onehot * class_weights[None, :, None, None]).sum(axis=1)
+    weight_matrix = weight_matrix * valid
     return weight_matrix, class_weights
 
 

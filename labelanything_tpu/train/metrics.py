@@ -19,16 +19,21 @@ from ..typing import IGNORE_INDEX
 
 def confusion_matrix(preds: jax.Array, target: jax.Array, num_classes: int) -> jax.Array:
     """(B, H, W) int preds/target -> (C, C) confusion matrix; IGNORE_INDEX
-    pixels excluded."""
+    pixels excluded.
+
+    Computed as a one-hot contraction (an MXU matmul) rather than
+    ``bincount``: scatter-adds lower to scalarized loops on TPU, the same
+    pathology as per-pixel gathers (see losses._class_onehot). fp32 counts
+    are exact up to 2^24 pixels, far above one batch's pixel count; the
+    result is returned as int32 and accumulated outside the jit."""
     valid = target != IGNORE_INDEX
     t = jnp.where(valid, target, 0)
     p = jnp.clip(preds, 0, num_classes - 1)
-    idx = t * num_classes + p
-    flat = jnp.where(valid, idx, num_classes * num_classes)  # overflow bin
-    counts = jnp.bincount(
-        flat.reshape(-1), length=num_classes * num_classes + 1
-    )[:-1]
-    return counts.reshape(num_classes, num_classes)
+    classes = jnp.arange(num_classes, dtype=t.dtype)
+    oh_t = (t[..., None] == classes).astype(jnp.float32) * valid[..., None]
+    oh_p = (p[..., None] == classes).astype(jnp.float32)
+    cm = jnp.einsum("bhwc,bhwd->cd", oh_t, oh_p)
+    return jnp.round(cm).astype(jnp.int32)
 
 
 def iou_per_class(confmat: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -56,13 +61,16 @@ def strict_mean_iou(confmat: jax.Array) -> jax.Array:
 
 def binary_confusion_matrix(preds: jax.Array, target: jax.Array) -> jax.Array:
     """FB-IoU statistics: everything > 0 is foreground
-    (reference: utils/metrics.py:44-51)."""
+    (reference: utils/metrics.py:44-51). One-hot contraction, not bincount
+    (see confusion_matrix)."""
     valid = target != IGNORE_INDEX
-    p = (preds > 0).astype(jnp.int32)
-    t = (jnp.where(valid, target, 0) > 0).astype(jnp.int32)
-    idx = jnp.where(valid, t * 2 + p, 4)
-    counts = jnp.bincount(idx.reshape(-1), length=5)[:4]
-    return counts.reshape(2, 2)
+    p = (preds > 0).astype(jnp.float32)
+    t = (jnp.where(valid, target, 0) > 0).astype(jnp.float32)
+    v = valid.astype(jnp.float32)
+    oh_t = jnp.stack([(1.0 - t) * v, t * v], axis=-1)
+    oh_p = jnp.stack([1.0 - p, p], axis=-1)
+    cm = jnp.einsum("bhwc,bhwd->cd", oh_t, oh_p)
+    return jnp.round(cm).astype(jnp.int32)
 
 
 def fb_iou(confmat2: jax.Array) -> jax.Array:

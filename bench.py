@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--encoder", choices=["vit_b", "vit_l", "vit_h"],
+                    default=None, help="vit mode only")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -34,6 +36,8 @@ def main():
         kw["batch_size"] = args.batch
     if args.steps:
         kw["steps"] = args.steps
+    if args.encoder and args.mode == "vit":
+        kw["encoder"] = args.encoder
     fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train}
     result = fns[args.mode](**kw)
 

@@ -98,10 +98,15 @@ def _vit_b_flops_per_image(image_size: int) -> float:
     return float(f_blocks + f_patch + f_neck)
 
 
-def bench_vit(batch_size=8, image_size=1024, steps=8, reps=3):
-    from labelanything_tpu.models.build_encoder import build_vit_b
+def bench_vit(batch_size=8, image_size=1024, steps=8, reps=3,
+              encoder="vit_b"):
+    from labelanything_tpu.models.build_encoder import (build_vit_b,
+                                                        build_vit_h,
+                                                        build_vit_l)
 
-    enc = build_vit_b(dtype=jnp.bfloat16)
+    builders = {"vit_b": build_vit_b, "vit_l": build_vit_l,
+                "vit_h": build_vit_h}
+    enc = builders[encoder](dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch_size, image_size, image_size, 3)),
                     jnp.bfloat16)
@@ -114,14 +119,15 @@ def bench_vit(batch_size=8, image_size=1024, steps=8, reps=3):
         return carry + jnp.sum(out.astype(jnp.float32))
 
     sec, spread = _timed_chain(chained, params, x, steps, reps)
+    name = {"vit_b": "ViT-B", "vit_l": "ViT-L", "vit_h": "ViT-H"}[encoder]
     result = {
-        "metric": f"images/sec/chip (SAM ViT-B {image_size}px embed, bf16, fused rel-pos attention)",
+        "metric": f"images/sec/chip (SAM {name} {image_size}px embed, bf16, fused rel-pos attention)",
         "value": round(batch_size / sec, 2),
         "unit": "images/sec",
         "spread": round(spread, 3),
     }
     peak = _peak_tflops()
-    if peak:
+    if peak and encoder == "vit_b":
         achieved = _vit_b_flops_per_image(image_size) * batch_size / sec / 1e12
         result["mfu"] = round(achieved / peak, 3)
         result["device_kind"] = jax.devices()[0].device_kind

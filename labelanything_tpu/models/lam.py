@@ -279,8 +279,12 @@ class BinaryLam(Lam):
         logits = jnp.stack(logits, axis=1)  # (B, C-1, 2, h, w)
         fg = logits[:, :, 1]
         bgs = logits[:, :, 0]
-        bg_positions = jnp.argmax(fg, axis=1, keepdims=True)
-        bg = jnp.take_along_axis(bgs, bg_positions, axis=1)
+        # bg logit of the winning class per pixel, as a one-hot contraction:
+        # per-pixel take_along_axis lowers to a scalarized gather loop on
+        # TPU (see train/losses._class_onehot)
+        sel = jax.nn.one_hot(jnp.argmax(fg, axis=1), c - 1, axis=1,
+                             dtype=bgs.dtype)
+        bg = (bgs * sel).sum(axis=1, keepdims=True)
         seg = jnp.concatenate([bg, fg], axis=1)
         seg = self.postprocess_masks_fixed(seg, batched_input[BatchKeys.DIMS])
         if BatchKeys.FLAG_GTS in batched_input:

@@ -1,16 +1,19 @@
 """SAM / ViTDet-style image encoder (reference: label_anything/models/image_encoder.py).
 
 TPU-first notes:
-  * Channels-last throughout; patch embedding is a strided conv that XLA maps
-    straight onto the MXU.
+  * Channels-last throughout; patch embedding is space-to-depth + one matmul
+    (see PatchEmbed — the strided conv wastes ~40x MXU work to 3-channel
+    lane padding).
   * Window partitioning is a static reshape/transpose (img_size and
     window_size are fixed per build), so the whole encoder is one compiled
     graph with zero dynamic shapes.
-  * Decomposed relative-position attention is expressed as an additive bias on
-    the attention scores; the q-independent gather of Rh/Rw tables is hoisted
-    out so XLA fuses bias construction into the score matmul. A fully fused
-    Pallas kernel (bias computed tile-wise inside flash attention) is the
-    planned upgrade for the global layers.
+  * Decomposed relative-position attention runs through the packed-layout
+    fused Pallas kernels (ops/flash_attention.py): q/k/v are read straight
+    out of the qkv projection (slot-major), the factored bias is
+    reconstructed per VMEM tile, and the softmax uses a bounded shift with
+    an MXU-computed denominator. Set ``use_kernel=False`` for
+    tensor-parallel runs (Pallas custom calls are not GSPMD-partitionable);
+    the XLA fallback partitions cleanly and is numerically equivalent.
 """
 
 from __future__ import annotations
@@ -131,6 +134,10 @@ class ViTAttention(nn.Module):
     use_rel_pos: bool = False
     input_size: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
+    # Pallas custom calls are not GSPMD-partitionable: tensor-parallel runs
+    # (parallel/tp.py) must set use_kernel=False so attention takes the XLA
+    # path, which GSPMD partitions. Pure data-parallel runs keep the kernel.
+    use_kernel: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -172,7 +179,7 @@ class ViTAttention(nn.Module):
 
         # _pick_block_q handles any hw divisible by 128 (or a single block)
         kernel_ok = hw % 128 == 0 or hw <= _BLOCK_Q
-        if _on_tpu() and kernel_ok:
+        if _on_tpu() and kernel_ok and self.use_kernel:
             # slot-major packed layout: ONE relayout copy replaces the
             # reshape/moveaxis + per-tensor transposes of the unpacked path
             # (measured ~2x the attention-kernel cost in HBM glue traffic);
@@ -224,6 +231,7 @@ class ViTBlock(nn.Module):
     input_size: Optional[Tuple[int, int]] = None
     act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
+    use_kernel: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -242,6 +250,7 @@ class ViTBlock(nn.Module):
                 else (self.window_size, self.window_size)
             ),
             dtype=self.dtype,
+            use_kernel=self.use_kernel,
             name="attn",
         )(x)
         if self.window_size > 0:
@@ -277,6 +286,7 @@ class ImageEncoderViT(nn.Module):
     act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_kernel: bool = True  # False for tensor-parallel runs (see ViTAttention)
 
     @nn.compact
     def __call__(self, x: jax.Array, return_last_block_state: bool = False):
@@ -307,6 +317,7 @@ class ImageEncoderViT(nn.Module):
                 input_size=(grid, grid),
                 act=self.act,
                 dtype=self.dtype,
+                use_kernel=self.use_kernel,
                 name=f"blocks_{i}",
             )(x)
 

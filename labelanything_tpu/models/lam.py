@@ -281,7 +281,10 @@ class BinaryLam(Lam):
         bgs = logits[:, :, 0]
         # bg logit of the winning class per pixel, as a one-hot contraction:
         # per-pixel take_along_axis lowers to a scalarized gather loop on
-        # TPU (see train/losses._class_onehot)
+        # TPU (see train/losses._class_onehot). Clamp first: 0 * -inf from a
+        # NON-selected lane would poison the sum with NaN (take_along_axis
+        # was immune to garbage in unselected lanes).
+        bgs = jnp.maximum(bgs, jnp.finfo(bgs.dtype).min)
         sel = jax.nn.one_hot(jnp.argmax(fg, axis=1), c - 1, axis=1,
                              dtype=bgs.dtype)
         bg = (bgs * sel).sum(axis=1, keepdims=True)

@@ -99,8 +99,32 @@ def _augment_v(v: jax.Array) -> jax.Array:
 
 
 def _finish(o_aug: jax.Array, d: int, out_dtype) -> jax.Array:
-    """Split [P@V | denom] and normalize."""
-    return (o_aug[..., :d] / o_aug[..., d:d + 1]).astype(out_dtype)
+    """Split [P@V | denom] and normalize.
+
+    The denominator is clamped away from zero: with the BOUNDED shift (not
+    the exact max) there is no max(p) == 1 guarantee, so a pathologically
+    loose bound (large ||q||*||k|| with near-orthogonal vectors) could
+    underflow every exp2 term and 0/0 a whole row; clamping yields 0 for
+    such rows instead of NaN. Healthy rows (denom >= ~2^-100) are exact."""
+    denom = jnp.maximum(o_aug[..., d:d + 1], jnp.finfo(jnp.float32).tiny)
+    return (o_aug[..., :d] / denom).astype(out_dtype)
+
+
+def _shift_bound(q, k, r=None, rh_width: int = 0):
+    """Row-wise upper bound on the (log2-domain) score max: Cauchy-Schwarz
+    ``||q_i|| * max_j ||k_j||`` plus, when the factored rel-pos bias ``r``
+    is given, ``rowmax(rel_h) + rowmax(rel_w)`` (tight separately — the two
+    halves index independent key axes). Works on (rows, d) or (G, rows, d)
+    operands."""
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1), axis=-1))
+    if k.ndim == 3:
+        k_norm = k_norm[:, None, None]
+    m = q_norm * k_norm
+    if r is not None:
+        m = m + jnp.max(r[..., :rh_width], axis=-1, keepdims=True)
+        m = m + jnp.max(r[..., rh_width:], axis=-1, keepdims=True)
+    return m
 
 
 # --------------------------------------------------------------------- #
@@ -112,10 +136,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, block_k: int):
     q = q_ref[0].astype(jnp.float32)          # (BQ, Dc)
     k = k_ref[0].astype(jnp.float32)          # (K, Dc)
     v = v_ref[0]                              # (K, D+1)
-
-    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1)))
-    m = q_norm * k_norm                        # (BQ, 1) upper bound
+    m = _shift_bound(q, k)                     # (BQ, 1)
 
     k_len = k.shape[0]
     o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
@@ -139,9 +160,7 @@ def _attn_kernel_batched(q_ref, k_ref, v_ref, o_ref, *, d: int):
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...]
-    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))     # (G, N, 1)
-    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1), axis=-1))  # (G,)
-    m = q_norm * k_norm[:, None, None]
+    m = _shift_bound(q, k)                     # (G, N, 1)
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     p = jnp.exp2(s - m).astype(v.dtype)
@@ -278,135 +297,17 @@ def _onehot_expand(kh: int, kw: int, dtype):
     return jnp.concatenate([e_h, e_w], axis=0)
 
 
-def _relpos_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *, d: int,
-                   rh_width: int, block_k: int):
-    """q pre-scaled by scale*log2e; r = [rel_h | rel_w] pre-scaled by log2e;
-    e = one-hot expansion (VMEM-resident); v ones-augmented. Bounded-shift
-    softmax (see module docstring): the bias bound is
-    ``rowmax(rel_h) + rowmax(rel_w)`` — tight separately, since the two
-    halves index independent key axes."""
-    q = q_ref[0].astype(jnp.float32)           # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)           # (K, D)
-    v = v_ref[0]                               # (K, D+1)
-    r = r_ref[0].astype(jnp.float32)           # (BQ, Kh+Kw)
-    e = e_ref[...].astype(jnp.float32)         # (Kh+Kw, K)
-
-    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))      # (BQ, 1)
-    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1)))            # scalar
-    rh_max = jnp.max(r[:, :rh_width], axis=-1, keepdims=True)
-    rw_max = jnp.max(r[:, rh_width:], axis=-1, keepdims=True)
-    m = q_norm * k_norm + rh_max + rw_max                          # (BQ, 1)
-
-    k_len = k.shape[0]
-    o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
-    for kb in range(0, k_len, block_k):       # static offsets -> lax.slice
-        s = jax.lax.dot_general(
-            q, k[kb:kb + block_k],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                       # (BQ, block_k)
-        s = s + jax.lax.dot_general(
-            r, e[:, kb:kb + block_k],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        p = jnp.exp2(s - m).astype(v.dtype)
-        o = o + jax.lax.dot_general(
-            p, v[kb:kb + block_k],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                       # (BQ, D+1)
-    o_ref[0] = _finish(o, d, o_ref.dtype)
-
-
-def _relpos_kernel_batched(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *,
-                           d: int, rh_width: int):
-    """(G, N, ...) blocks for short windows; same contract, no k-blocking
-    (the whole window is one key block)."""
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...]
-    r = r_ref[...].astype(jnp.float32)          # (G, N, Kh+Kw)
-    e = e_ref[...].astype(jnp.float32)          # (Kh+Kw, K)
-
-    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))     # (G, N, 1)
-    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1), axis=-1))  # (G,)
-    rh_max = jnp.max(r[..., :rh_width], axis=-1, keepdims=True)
-    rw_max = jnp.max(r[..., rh_width:], axis=-1, keepdims=True)
-    m = q_norm * k_norm[:, None, None] + rh_max + rw_max
-
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
-    s = s + jax.lax.dot_general(                # einsum('gnr,rk->gnk')
-        r, e, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    p = jnp.exp2(s - m).astype(v.dtype)
-    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
-    o_ref[...] = _finish(o, d, o_ref.dtype)
-
-
 def _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale: float,
                      grid_hw: Tuple[int, int]):
-    """q/k/v: (BH, HW, D); rel_h: (BH, HW, H); rel_w: (BH, HW, W)."""
+    """Unpacked-layout entry: q/k/v (BH, HW, D); rel factored biases
+    (BH, HW, H) / (BH, HW, W). Implemented as the heads=1 case of the
+    packed kernels (one kernel family to maintain); model code uses
+    :func:`flash_attention_relpos_packed` directly to skip the stack."""
     bh, q_len, d = q.shape
-    kh, kw = grid_hw
-    k_len = kh * kw
-    # fold scale and the exp->exp2 conversion into q and the bias factors
-    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    qkv = jnp.stack([q, k, v], axis=1)          # (BH, 3, HW, D)
     r = (jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
-         * _LOG2E).astype(q.dtype)              # (BH, HW, Kh+Kw)
-    e = _onehot_expand(kh, kw, q.dtype)         # (Kh+Kw, K), shared over BH
-    v = _augment_v(v)
-    rr = kh + kw
-
-    if q_len <= _BLOCK_Q and q_len == k_len:
-        g = _pick_group(bh, q_len * k_len)
-        return pl.pallas_call(
-            functools.partial(_relpos_kernel_batched, d=d, rh_width=kh),
-            out_shape=jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
-            grid=(bh // g,),
-            in_specs=[
-                pl.BlockSpec((g, q_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, k_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, k_len, d + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, q_len, rr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((rr, k_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((g, q_len, d), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=_INTERPRET,
-        )(q, k, v, r, e)
-
-    block_q = _pick_block_q(q_len)
-    assert q_len % block_q == 0, (q_len, block_q)
-    grid = (bh, q_len // block_q)
-    block_k = _BLOCK_K if k_len % _BLOCK_K == 0 else k_len
-
-    return pl.pallas_call(
-        functools.partial(_relpos_kernel, d=d, rh_width=kh, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_len, d + 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, rr), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rr, k_len), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * q_len * k_len * d + 2 * bh * q_len * rr * k_len,
-            bytes_accessed=(3 * bh * q_len * d + r.size) * q.dtype.itemsize,
-            transcendentals=bh * q_len * k_len,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_INTERPRET,
-    )(q, k, v, r, e)
+         * _LOG2E).astype(q.dtype)[:, None]     # (BH, 1, HW, Kh+Kw)
+    return _packed_fwd_impl(qkv, r, scale, grid_hw, heads=1)[:, 0]
 
 
 def _relpos_kernel_packed(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
@@ -424,12 +325,7 @@ def _relpos_kernel_packed(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
     r = r_ref[0, 0].astype(jnp.float32)                     # (BQ, Kh+Kw)
     e = e_ref[...].astype(jnp.float32)                      # (Kh+Kw, K)
     d = qkv_v.shape[-1]
-
-    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1)))
-    rh_max = jnp.max(r[:, :rh_width], axis=-1, keepdims=True)
-    rw_max = jnp.max(r[:, rh_width:], axis=-1, keepdims=True)
-    m = q_norm * k_norm + rh_max + rw_max
+    m = _shift_bound(q, k, r, rh_width)                     # (BQ, 1)
 
     k_len = k.shape[0]
     o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
@@ -459,12 +355,7 @@ def _relpos_kernel_packed_batched(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
     r = r_ref[:, 0].astype(jnp.float32)                     # (G, N, Kh+Kw)
     e = e_ref[...].astype(jnp.float32)
     d = qkv_v.shape[-1]
-
-    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    k_norm = jnp.sqrt(jnp.max(jnp.sum(k * k, axis=-1), axis=-1))
-    rh_max = jnp.max(r[..., :rh_width], axis=-1, keepdims=True)
-    rw_max = jnp.max(r[..., rh_width:], axis=-1, keepdims=True)
-    m = q_norm * k_norm[:, None, None] + rh_max + rw_max
+    m = _shift_bound(q, k, r, rh_width)                     # (G, N, 1)
 
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)

@@ -23,8 +23,10 @@ split. Norms, embeddings, rel-pos tables, and the small per-head
 prompt/decoder attention projections are replicated as well.
 
 The Pallas attention kernels are not GSPMD-partitionable; encoders built
-for tensor-parallel execution should set ``use_kernel=False`` on the SAM
-ViT so attention runs through the XLA path.
+for tensor-parallel execution must set ``use_kernel=False`` (a real
+``ImageEncoderViT``/``ViTBlock``/``ViTAttention`` attribute, threaded to
+the attention dispatch) so attention runs through the XLA path — see
+``__graft_entry__._dryrun_tp`` for the wiring.
 """
 
 from __future__ import annotations

@@ -65,6 +65,96 @@ def _image_files(instances_path: Optional[str], directory: str):
     return files
 
 
+
+def _stream_encode(files, *, image_size, custom_preprocess, batch_size,
+                   num_workers, params, apply_fn, write_fn,
+                   log_label="images"):
+    """Shared streaming loop for embedding extraction.
+
+    Host->device traffic runs uint8 (4x less than fp32 pixels — this is the
+    bottleneck on tunneled/remote devices); normalization happens on device
+    inside the jit, with the bottom-right pad region forced to EXACTLY zero
+    to match CustomNormalize (pad-after-normalize) semantics (reference:
+    transforms.py:27-46). The device step is double-buffered: batch n+1 is
+    dispatched BEFORE batch n's outputs are fetched, so device compute
+    overlaps the host fetch + threaded safetensors writes.
+
+    ``apply_fn(params, x)`` runs the encoder on normalized fp32 pixels and
+    may return any pytree; ``write_fn(image_id, per_image_outputs)`` gets
+    the same pytree sliced per image (host numpy)."""
+    from .data.transforms import IMAGENET_MEAN, IMAGENET_STD, CustomResize
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    @jax.jit
+    def encode(params, x_u8, hw):
+        x = x_u8.astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        yy = jnp.arange(image_size)[None, :, None, None]
+        xx = jnp.arange(image_size)[None, None, :, None]
+        valid = (yy < hw[:, 0, None, None, None]) & (xx < hw[:, 1, None, None, None])
+        return apply_fn(params, jnp.where(valid, x, 0.0))
+
+    def load_one(item):
+        """Decode + resize + pad on host, uint8; normalize runs on device."""
+        image_id, path = item
+        img = Image.open(path)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if custom_preprocess:
+            img = CustomResize(image_size)(img)
+        else:
+            img = img.resize((image_size, image_size), Image.BILINEAR)
+        arr = np.asarray(img, np.uint8)
+        h, w = arr.shape[:2]
+        out = np.zeros((image_size, image_size, 3), np.uint8)
+        out[:h, :w] = arr
+        return image_id, out, (h, w)
+
+    io_pool = ThreadPoolExecutor(num_workers)
+    write_pool = ThreadPoolExecutor(4)
+
+    def fetch_and_queue(ids, out, pending):
+        host = jax.tree.map(np.asarray, out)
+        for i, image_id in enumerate(ids):
+            per_image = jax.tree.map(lambda a: a[i], host)
+            pending.append(write_pool.submit(write_fn, image_id, per_image))
+
+    t0 = time.time()
+    done = 0
+    batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
+    loaded_iter = iter(io_pool.map(
+        lambda chunk: [load_one(it) for it in chunk], batches))
+    pending = []
+    in_flight = None
+    for chunk in loaded_iter:
+        ids = [c[0] for c in chunk]
+        arrs = np.stack([c[1] for c in chunk])
+        hws = np.asarray([c[2] for c in chunk], np.int32)
+        pad = batch_size - len(ids)
+        if pad:
+            arrs = np.concatenate([arrs, np.zeros((pad,) + arrs.shape[1:],
+                                                  arrs.dtype)])
+            hws = np.concatenate([hws, np.zeros((pad, 2), np.int32)])
+        out = encode(params, jnp.asarray(arrs), jnp.asarray(hws))
+        if in_flight is not None:
+            fetch_and_queue(*in_flight, pending)
+        in_flight = (ids, out)
+        done += len(ids)
+        if done % (batch_size * 10) < batch_size:
+            rate = done / (time.time() - t0)
+            logger.info("%d/%d %s (%.1f img/s)", done, len(files), log_label,
+                        rate)
+    if in_flight is not None:
+        fetch_and_queue(*in_flight, pending)
+    for f in pending:
+        f.result()
+    rate = done / (time.time() - t0)
+    logger.info("finished: %d %s at %.2f images/sec", done, log_label, rate)
+    return rate
+
+
 def preprocess_images_to_embeddings(
     encoder_name: str,
     checkpoint: Optional[str] = None,
@@ -106,107 +196,30 @@ def preprocess_images_to_embeddings(
 
     want_last_block = last_block_dir is not None
 
-    # Host->device traffic runs uint8 (4x less than fp32 pixels — this is
-    # the bottleneck on tunneled/remote devices); normalization happens on
-    # device inside the jit, with the bottom-right pad region forced to
-    # EXACTLY zero to match CustomNormalize (pad-after-normalize) semantics
-    # (reference: transforms.py:27-46).
-    from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-
-    @jax.jit
-    def encode(params, x_u8, hw):
-        x = x_u8.astype(jnp.float32) / 255.0
-        x = (x - mean) / std
-        yy = jnp.arange(image_size)[None, :, None, None]
-        xx = jnp.arange(image_size)[None, None, :, None]
-        valid = (yy < hw[:, 0, None, None, None]) & (xx < hw[:, 1, None, None, None])
-        x = jnp.where(valid, x, 0.0)
+    def apply_fn(params, x):
         if want_last_block:
             out = encoder.apply(params, x, return_last_block_state=True)
             return out["last_hidden_state"], out["last_block_state"]
         return encoder.apply(params, x)
 
+    def write_fn(image_id, out):
+        hidden, last_block = out if want_last_block else (out, None)
+        name = f"{str(image_id).zfill(12)}.safetensors"
+        save_st({"embedding": np.asarray(hidden, np.float32).transpose(2, 0, 1)},
+                os.path.join(outfolder, name))
+        if last_block is not None:
+            save_st({"embedding": np.asarray(last_block, np.float32)
+                    .transpose(2, 0, 1)},
+                    os.path.join(last_block_dir, name))
+
     files = _image_files(instances_path, directory)
     if limit:
         files = files[:limit]
     logger.info("encoding %d images", len(files))
-
-    from .data.transforms import CustomResize
-
-    def load_one(item):
-        """Decode + resize + pad on host, uint8; normalize runs on device."""
-        image_id, path = item
-        img = Image.open(path)
-        if img.mode != "RGB":
-            img = img.convert("RGB")
-        if custom_preprocess:
-            img = CustomResize(image_size)(img)
-        else:
-            img = img.resize((image_size, image_size), Image.BILINEAR)
-        arr = np.asarray(img, np.uint8)
-        h, w = arr.shape[:2]
-        out = np.zeros((image_size, image_size, 3), np.uint8)
-        out[:h, :w] = arr
-        return image_id, out, (h, w)
-
-    io_pool = ThreadPoolExecutor(num_workers)
-    write_pool = ThreadPoolExecutor(4)
-
-    def write_one(image_id, emb, last_block=None):
-        name = f"{str(image_id).zfill(12)}.safetensors"
-        save_st({"embedding": np.asarray(emb, np.float32).transpose(2, 0, 1)},
-                  os.path.join(outfolder, name))
-        if last_block is not None:
-            save_st({"embedding": np.asarray(last_block, np.float32)
-                      .transpose(2, 0, 1)},
-                      os.path.join(last_block_dir, name))
-
-    def fetch_and_queue(ids, out, pending):
-        if want_last_block:
-            hidden, last_block = out
-        else:
-            hidden, last_block = out, None
-        hidden = np.asarray(hidden)
-        lb = np.asarray(last_block) if last_block is not None else None
-        for i, image_id in enumerate(ids):
-            pending.append(write_pool.submit(
-                write_one, image_id, hidden[i],
-                lb[i] if lb is not None else None))
-
-    t0 = time.time()
-    done = 0
-    batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
-    loaded_iter = iter(io_pool.map(
-        lambda chunk: [load_one(it) for it in chunk], batches))
-    pending = []
-    in_flight = None  # (ids, device arrays): dispatch batch n+1 BEFORE
-    # fetching batch n so device compute overlaps the host fetch + writes
-    for chunk in loaded_iter:
-        ids = [c[0] for c in chunk]
-        arrs = np.stack([c[1] for c in chunk])
-        hws = np.asarray([c[2] for c in chunk], np.int32)
-        pad = batch_size - len(ids)
-        if pad:
-            arrs = np.concatenate([arrs, np.zeros((pad,) + arrs.shape[1:],
-                                                  arrs.dtype)])
-            hws = np.concatenate([hws, np.zeros((pad, 2), np.int32)])
-        out = encode(params, jnp.asarray(arrs), jnp.asarray(hws))
-        if in_flight is not None:
-            fetch_and_queue(*in_flight, pending)
-        in_flight = (ids, out)
-        done += len(ids)
-        if done % (batch_size * 10) < batch_size:
-            rate = done / (time.time() - t0)
-            logger.info("%d/%d images (%.1f img/s)", done, len(files), rate)
-    if in_flight is not None:
-        fetch_and_queue(*in_flight, pending)
-    for f in pending:
-        f.result()
-    rate = done / (time.time() - t0)
-    logger.info("finished: %d images at %.2f images/sec", done, rate)
-    return rate
+    return _stream_encode(
+        files, image_size=image_size, custom_preprocess=custom_preprocess,
+        batch_size=batch_size, num_workers=num_workers, params=params,
+        apply_fn=apply_fn, write_fn=write_fn)
 
 
 def preprocess_images_to_embeddings_huggingface(
@@ -256,79 +269,20 @@ def preprocess_images_to_embeddings_huggingface(
         raise FileNotFoundError(f"no weights under {ckpt}")
     params = merge_into_params(params, convert_hf_vit_state_dict(weights))
 
-    # same uint8-upload + device-normalize + double-buffered dispatch as the
-    # SAM path (see preprocess_images_to_embeddings)
-    from .data.transforms import IMAGENET_MEAN, IMAGENET_STD, CustomResize
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-
-    @jax.jit
-    def encode(params, x_u8, hw):
-        x = x_u8.astype(jnp.float32) / 255.0
-        x = (x - mean) / std
-        yy = jnp.arange(image_resolution)[None, :, None, None]
-        xx = jnp.arange(image_resolution)[None, None, :, None]
-        valid = (yy < hw[:, 0, None, None, None]) & (xx < hw[:, 1, None, None, None])
-        return encoder.apply(params, jnp.where(valid, x, 0.0))
+    def write_fn(image_id, emb):
+        save_st({"embedding": np.asarray(emb, np.float32).transpose(2, 0, 1)},
+                os.path.join(outfolder,
+                             f"{str(image_id).zfill(12)}.safetensors"))
 
     os.makedirs(outfolder, exist_ok=True)
     files = _image_files(instances_path, directory)
     if limit:
         files = files[:limit]
-    io_pool = ThreadPoolExecutor(num_workers)
-    write_pool = ThreadPoolExecutor(4)
-
-    def load_one(item):
-        image_id, path = item
-        img = Image.open(path)
-        if img.mode != "RGB":
-            img = img.convert("RGB")
-        if custom_preprocess:
-            img = CustomResize(image_resolution)(img)
-        else:
-            img = img.resize((image_resolution, image_resolution),
-                             Image.BILINEAR)
-        arr = np.asarray(img, np.uint8)
-        h, w = arr.shape[:2]
-        out = np.zeros((image_resolution, image_resolution, 3), np.uint8)
-        out[:h, :w] = arr
-        return image_id, out, (h, w)
-
-    def write_one(image_id, emb):
-        save_st({"embedding": np.asarray(emb, np.float32).transpose(2, 0, 1)},
-                os.path.join(outfolder,
-                             f"{str(image_id).zfill(12)}.safetensors"))
-
-    def fetch_and_queue(ids, out, pending):
-        out = np.asarray(out)
-        for i, image_id in enumerate(ids):
-            pending.append(write_pool.submit(write_one, image_id, out[i]))
-
-    t0, done = time.time(), 0
-    batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
-    pending = []
-    in_flight = None
-    for chunk in io_pool.map(lambda c: [load_one(it) for it in c], batches):
-        ids = [c[0] for c in chunk]
-        arrs = np.stack([c[1] for c in chunk])
-        hws = np.asarray([c[2] for c in chunk], np.int32)
-        if len(ids) < batch_size:
-            pad = batch_size - len(ids)
-            arrs = np.concatenate([arrs, np.zeros(
-                (pad,) + arrs.shape[1:], arrs.dtype)])
-            hws = np.concatenate([hws, np.zeros((pad, 2), np.int32)])
-        out = encode(params, jnp.asarray(arrs), jnp.asarray(hws))
-        if in_flight is not None:
-            fetch_and_queue(*in_flight, pending)
-        in_flight = (ids, out)
-        done += len(ids)
-    if in_flight is not None:
-        fetch_and_queue(*in_flight, pending)
-    for f in pending:
-        f.result()
-    rate = done / (time.time() - t0)
-    logger.info("hf embeddings: %d images at %.2f images/sec", done, rate)
-    return rate
+    return _stream_encode(
+        files, image_size=image_resolution,
+        custom_preprocess=custom_preprocess, batch_size=batch_size,
+        num_workers=num_workers, params=params, apply_fn=encoder.apply,
+        write_fn=write_fn, log_label="hf images")
 
 
 def preprocess_clip(clip_model_path: str, directory: str,

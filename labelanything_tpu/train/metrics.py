@@ -23,17 +23,19 @@ def confusion_matrix(preds: jax.Array, target: jax.Array, num_classes: int) -> j
 
     Computed as a one-hot contraction (an MXU matmul) rather than
     ``bincount``: scatter-adds lower to scalarized loops on TPU, the same
-    pathology as per-pixel gathers (see losses._class_onehot). fp32 counts
-    are exact up to 2^24 pixels, far above one batch's pixel count; the
-    result is returned as int32 and accumulated outside the jit."""
+    pathology as per-pixel gathers (see losses._class_onehot). The einsum
+    keeps the batch axis and sums per-sample matrices as INTEGERS: fp32
+    counting is exact only to 2^24, which one cell of a large
+    background-dominated eval batch can exceed; per-sample cells are
+    bounded by H*W (<= 2^24 up to 4096px)."""
     valid = target != IGNORE_INDEX
     t = jnp.where(valid, target, 0)
     p = jnp.clip(preds, 0, num_classes - 1)
     classes = jnp.arange(num_classes, dtype=t.dtype)
     oh_t = (t[..., None] == classes).astype(jnp.float32) * valid[..., None]
     oh_p = (p[..., None] == classes).astype(jnp.float32)
-    cm = jnp.einsum("bhwc,bhwd->cd", oh_t, oh_p)
-    return jnp.round(cm).astype(jnp.int32)
+    cm = jnp.einsum("bhwc,bhwd->bcd", oh_t, oh_p)
+    return jnp.round(cm).astype(jnp.int32).sum(axis=0)
 
 
 def iou_per_class(confmat: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -69,8 +71,8 @@ def binary_confusion_matrix(preds: jax.Array, target: jax.Array) -> jax.Array:
     v = valid.astype(jnp.float32)
     oh_t = jnp.stack([(1.0 - t) * v, t * v], axis=-1)
     oh_p = jnp.stack([1.0 - p, p], axis=-1)
-    cm = jnp.einsum("bhwc,bhwd->cd", oh_t, oh_p)
-    return jnp.round(cm).astype(jnp.int32)
+    cm = jnp.einsum("bhwc,bhwd->bcd", oh_t, oh_p)  # per-sample: fp32-exact
+    return jnp.round(cm).astype(jnp.int32).sum(axis=0)
 
 
 def fb_iou(confmat2: jax.Array) -> jax.Array:

@@ -265,3 +265,65 @@ def test_tensor_parallel_train_step_matches_replicated():
                                rtol=1e-5)
     np.testing.assert_allclose(results["tp"][1], results["replicated"][1],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_tensor_parallel_vit_matches_replicated():
+    """TP numerics on the images path: a (4, 2) dp x tp train step of a
+    lam with a tiny SAM ViT (use_kernel=False — Pallas custom calls are not
+    GSPMD-partitionable) reproduces the (8, 1) replicated loss."""
+    from labelanything_tpu.models.build_lam import build_lam
+    from labelanything_tpu.models.image_encoder import ImageEncoderViT
+    from labelanything_tpu.parallel import tp
+
+    S, d = 32, 16
+
+    def tiny_vit(**kw):
+        kw.setdefault("project_last_hidden", True)
+        kw.pop("remat", None)
+        return ImageEncoderViT(
+            img_size=S, patch_size=8, embed_dim=d, depth=1, num_heads=2,
+            out_chans=d, use_rel_pos=True, window_size=2,
+            global_attn_indexes=(0,), use_kernel=False, **kw)
+
+    model = build_lam(
+        build_vit=tiny_vit, image_embed_dim=d, embed_dim=d, image_size=S,
+        vit_patch_size=8,
+        class_encoder={"name": "RandomMatrixEncoder", "bank_size": 8},
+    )
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}})
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=8, num_examples=1, num_classes=C, image_size=S,
+        embed_dim=d, with_images=True,
+    ))
+    sub = Substitutor(num_points=1, substitute=False)
+    sub.reset(full)
+    input_dict, gt = next(sub)
+
+    params = {
+        "model": jax.jit(model.init)(jax.random.key(0), input_dict),
+        "loss": loss.init(jax.random.key(1), {
+            ResultDict.LOGITS: jnp.zeros((8, C, S, S)),
+            ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros((8, 1, C, d)),
+            BatchKeys.FLAG_EXAMPLES: input_dict[BatchKeys.FLAG_EXAMPLES],
+        }, gt),
+    }
+    tx = build_optimizer(params, name="AdamW", learning_rate=1e-3)
+
+    losses = {}
+    for name, (dp, mp) in {"replicated": (8, 1), "tp": (4, 2)}.items():
+        mesh = create_mesh(data=dp, model=mp)
+        state = init_train_state(jax.tree.map(jnp.array, params), tx)
+        if mp > 1:
+            shardings = tp.state_shardings(state, mesh)
+            state = tp.shard_tree(state, mesh)
+            step = make_train_step(model, loss, tx, mesh=mesh, num_classes=C,
+                                   state_shardings=shardings)
+        else:
+            step = make_train_step(model, loss, tx, mesh=mesh, num_classes=C)
+        _, aux = step(
+            state, shard_batch(input_dict, mesh),
+            jax.device_put(gt, NamedSharding(mesh, P("data"))),
+            jax.random.key(2), 1.0, apply_update=True)
+        losses[name] = float(aux["loss"])
+
+    np.testing.assert_allclose(losses["tp"], losses["replicated"], rtol=1e-5)

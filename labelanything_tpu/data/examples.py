@@ -179,6 +179,30 @@ class ExampleGenerator:
         return image_ids, example_classes
 
 
+class _PowerLawSampler:
+    """Picklable n-ways sampler (datasets cross process boundaries in the
+    process-mode EpisodeLoader; lambdas don't pickle)."""
+
+    def __init__(self, alpha: float):
+        self.alpha = alpha
+
+    def __call__(self, n, rng):
+        return sample_power_law(n, self.alpha, rng)
+
+
+class _FixedWaysSampler:
+    def __init__(self, n_ways: int):
+        self.n_ways = n_ways
+
+    def __call__(self, n, rng):
+        return min(n, self.n_ways)
+
+
+class _AllWaysSampler:
+    def __call__(self, n, rng):
+        return n
+
+
 class NWayExampleGenerator(ExampleGenerator):
     """(reference: examples.py:164-196)."""
 
@@ -187,13 +211,13 @@ class NWayExampleGenerator(ExampleGenerator):
                  rng: Optional[np.random.Generator] = None):
         if n_ways == "max":
             if sample_function == "power_law":
-                fn = lambda n, rng_: sample_power_law(n, alpha, rng_)
+                fn = _PowerLawSampler(alpha)
             elif sample_function == "uniform":
                 fn = sample_uniform
             else:
                 raise ValueError(f"Unknown sample function {sample_function}")
         else:
-            fn = lambda n, rng_: min(n, n_ways)
+            fn = _FixedWaysSampler(n_ways)
         super().__init__(images_to_categories, categories_to_imgs, fn,
                          min_size, rng)
 
@@ -204,7 +228,7 @@ class MaxWayMinShotsExampleGenerator(ExampleGenerator):
     def __init__(self, images_to_categories, categories_to_imgs, min_size=1,
                  rng: Optional[np.random.Generator] = None):
         super().__init__(images_to_categories, categories_to_imgs,
-                         lambda n, rng_: n, min_size, rng)
+                         _AllWaysSampler(), min_size, rng)
 
     def generate_examples(self, query_image_id, image_classes, sampled_classes,
                           num_examples=None, num_classes=None):

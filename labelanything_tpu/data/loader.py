@@ -2,20 +2,46 @@
 
 The reference uses torch DataLoader worker processes (reference:
 data/__init__.py get_dataloaders, dataloader.num_workers). Here episode
-assembly (RLE decode, PIL resize, prompt tensorization — NumPy/PIL code that
-releases the GIL for its hot parts) runs on a thread pool, batches are
-collated and handed to the consumer while the next ones build, keeping the
-TPU fed without multiprocessing serialization overhead.
+assembly offers two modes:
+
+* thread mode (default): a thread pool assembles items; cheap to start,
+  fine for the embeddings path (safetensors reads release the GIL) and for
+  tests.
+* process mode (``use_processes=True``): episode assembly AND collation run
+  in worker processes. The images path is GIL-bound in practice — profiling
+  shows fp32 pixel memcpys (np.stack in collate), host normalization, and
+  prompt tensorization dominating, none of which parallelize on threads —
+  so 8 threads assemble only ~12 episodes/sec at 480px while the TPU trains
+  at ~620: process workers remove the GIL from the equation, like the
+  reference's DataLoader workers. Workers are spawned (not forked — the
+  initialized TPU client does not survive forks) and receive the pickled
+  dataset once via an initializer.
 """
 
 from __future__ import annotations
 
+import multiprocessing
+import pickle
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional
 
 from .dataset import LabelAnythingDataset, VariableBatchSampler
+
+_WORKER_DATASET = None
+
+
+def _proc_init(pickled_dataset: bytes) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = pickle.loads(pickled_dataset)
+
+
+def _proc_collate(indices) -> bytes:
+    """Assemble + collate one batch inside the worker; returns the collated
+    pytree (pickled implicitly by the executor)."""
+    ds = _WORKER_DATASET
+    return ds.collate_fn([ds[i] for i in indices])
 
 
 class EpisodeLoader:
@@ -26,6 +52,7 @@ class EpisodeLoader:
         num_workers: int = 8,
         prefetch_batches: int = 2,
         group_size: int = 1,
+        use_processes: bool = False,
     ):
         """``group_size`` merges that many consecutive per-rank batches (the
         sampler replicates each shape tuple once per data-parallel rank,
@@ -36,28 +63,62 @@ class EpisodeLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = prefetch_batches
         self.group_size = max(1, group_size)
+        self.use_processes = use_processes
+        self._pool: Optional[ProcessPoolExecutor] = None
 
     def __len__(self):
         return len(self.batch_sampler) // self.group_size
 
-    def __iter__(self) -> Iterator:
+    # ------------------------------------------------------------------ #
+
+    def _process_pool(self) -> ProcessPoolExecutor:
+        """Lazily started, reused across epochs (spawn cost ~seconds)."""
+        if self._pool is None:
+            self._pool = ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_proc_init,
+                initargs=(pickle.dumps(self.dataset),),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(cancel_futures=True)
+            self._pool = None
+
+    def _groups(self):
+        group, n_batches = [], 0
+        for batch_idxs in self.batch_sampler:
+            group.extend(batch_idxs)
+            n_batches += 1
+            if n_batches == self.group_size:
+                yield group
+                group, n_batches = [], 0
+        if group:
+            yield group
+
+    def _iter_processes(self) -> Iterator:
+        pool = self._process_pool()
+        pending = []
+        window = self.num_workers + self.prefetch_batches
+        for group in self._groups():
+            pending.append(pool.submit(_proc_collate, group))
+            while len(pending) >= window:
+                yield pending.pop(0).result()
+        for fut in pending:
+            yield fut.result()
+
+    def _iter_threads(self) -> Iterator:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    group, n_batches = [], 0
-                    for batch_idxs in self.batch_sampler:
+                    for group in self._groups():
                         if stop.is_set():
                             return
-                        group.extend(batch_idxs)
-                        n_batches += 1
-                        if n_batches == self.group_size:
-                            items = list(pool.map(self.dataset.__getitem__, group))
-                            out_q.put(("item", self.dataset.collate_fn(items)))
-                            group, n_batches = [], 0
-                    if group:
                         items = list(pool.map(self.dataset.__getitem__, group))
                         out_q.put(("item", self.dataset.collate_fn(items)))
             except BaseException as exc:  # propagate to consumer
@@ -83,3 +144,9 @@ class EpisodeLoader:
                     out_q.get_nowait()
                 except queue.Empty:
                     break
+
+    def __iter__(self) -> Iterator:
+        if self.use_processes:
+            yield from self._iter_processes()
+        else:
+            yield from self._iter_threads()

@@ -156,8 +156,10 @@ class Run:
                 num_processes=self.num_processes,
                 seed=self.seed,
             )
-            self.train_loader = EpisodeLoader(dataset, sampler, num_workers,
-                                              group_size=self.num_processes)
+            self.train_loader = EpisodeLoader(
+                dataset, sampler, num_workers,
+                group_size=self.num_processes,
+                use_processes=_first(dl.get("use_processes", False)))
             self.train_dataset = dataset
 
         self.val_loaders = {}
@@ -173,7 +175,9 @@ class Run:
                 seed=self.seed,
             )
             self.val_loaders[name] = EpisodeLoader(
-                dataset, sampler, num_workers, group_size=self.num_processes)
+                dataset, sampler, num_workers,
+                group_size=self.num_processes,
+                use_processes=_first(dl.get("use_processes", False)))
         self.test_params = test_params
         self.common_params = common
 

@@ -198,3 +198,34 @@ def test_dataset_sampler_collate_model_e2e(coco_dir):
     c = batch[BatchKeys.PROMPT_MASKS].shape[2]
     assert logits.shape == (b, c, 64, 64)
     assert np.isfinite(np.asarray(logits)).any()
+
+
+def test_episode_loader_process_mode(coco_dir):
+    """Process-based loader: dataset pickles, workers assemble + collate,
+    batches match the thread-mode schema (the canonical production path —
+    thread mode is GIL-bound on the images path, see data/loader.py)."""
+    import pickle
+
+    union = LabelAnythingDataset(
+        datasets_params={"coco": {
+            "instances_path": str(coco_dir / "instances.json"),
+            "img_dir": str(coco_dir / "images"),
+        }},
+        common_params={"image_size": 64, "add_box_noise": False, "seed": 0},
+    )
+    pickle.dumps(union)  # process workers require a picklable dataset
+
+    from labelanything_tpu.data.loader import EpisodeLoader
+
+    sampler = VariableBatchSampler(
+        union, possible_batch_example_nums=[[2, 1]], shuffle=False, seed=1)
+    loader = EpisodeLoader(union, sampler, num_workers=2, use_processes=True)
+    try:
+        batches = list(iter(loader))
+        assert len(batches) == len(loader)
+        (batch, gts), names = batches[0]
+        assert names[0] == "coco"
+        assert gts.shape[0] == 2
+        assert BatchKeys.IMAGES in batch or BatchKeys.EMBEDDINGS in batch
+    finally:
+        loader.close()

@@ -327,3 +327,53 @@ def test_tensor_parallel_vit_matches_replicated():
         losses[name] = float(aux["loss"])
 
     np.testing.assert_allclose(losses["tp"], losses["replicated"], rtol=1e-5)
+
+
+def test_training_fits_learnable_synthetic_task():
+    """Training-dynamics regression: loss must DROP substantially on a task
+    that is actually expressible. random_full_batch GTs are IID per-pixel
+    noise — provably unfittable through the 16x-upsampling decoder (loss
+    floors at the residual entropy, which once masqueraded as 'training is
+    broken'). Here the GT is derived from the query embeddings (argmax over
+    the first C channels, upsampled), so the mapping embedding -> mask is
+    learnable and a healthy optimizer memorizes one batch quickly."""
+    from labelanything_tpu.ops import resize_bilinear
+
+    S, D = 64, 32
+    model = tiny_model()
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}})
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=2, num_examples=1, num_classes=C, image_size=S,
+        embed_dim=D, seed=0))
+    sub = Substitutor(num_points=1, substitute=False)
+    sub.reset(full)
+    batch, _ = next(sub)
+
+    # learnable target: class = argmax over the first C embedding channels
+    # of the QUERY embedding, upsampled to full resolution
+    q_emb = batch[BatchKeys.EMBEDDINGS][:, 0]            # (B, g, g, D)
+    chan = resize_bilinear(q_emb[..., :C], (S, S), spatial_axes=(1, 2))
+    gt = jnp.argmax(chan, axis=-1).astype(jnp.int32)      # (B, S, S)
+    # the model emits -inf outside the valid dims (synthetic dims = 0.9*S);
+    # GT must ignore that region exactly like the dataset GTs do
+    gt = gt.at[:, :, int(S * 0.9):].set(IGNORE_INDEX)
+
+    params = {
+        "model": jax.jit(model.init)(jax.random.key(0), batch),
+        "loss": loss.init(jax.random.key(1), {
+            ResultDict.LOGITS: jnp.zeros((2, C, S, S)),
+            ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros((2, 1, C, 32)),
+            BatchKeys.FLAG_EXAMPLES: batch[BatchKeys.FLAG_EXAMPLES],
+        }, gt),
+    }
+    tx = build_optimizer(params, name="AdamW", learning_rate=2e-3)
+    state = init_train_state(params, tx)
+    step = make_train_step(model, loss, tx)
+
+    losses = []
+    for i in range(150):
+        state, aux = step(state, batch, gt, jax.random.key(7), 1.0,
+                          apply_update=True)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])

@@ -327,6 +327,10 @@ def _relpos_kernel_packed(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
     d = qkv_v.shape[-1]
     m = _shift_bound(q, k, r, rh_width)                     # (BQ, 1)
 
+    # NOTE: a software-pipelined variant (issuing block i+1's score matmuls
+    # before block i's exponentials) measured identical (8.21 vs 8.25 ms) —
+    # the kernel is MXU-bound at these shapes and the VPU work already
+    # hides, so the simple loop stays.
     k_len = k.shape[0]
     o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
     for kb in range(0, k_len, block_k):

@@ -32,9 +32,17 @@ from .dataset import LabelAnythingDataset, VariableBatchSampler
 _WORKER_DATASET = None
 
 
-def _proc_init(pickled_dataset: bytes) -> None:
+def _proc_init(pickled_dataset: bytes, worker_counter, base_seed) -> None:
     global _WORKER_DATASET
     _WORKER_DATASET = pickle.loads(pickled_dataset)
+    # per-worker reseed (reference torch DataLoader: base_seed + worker_id):
+    # every worker unpickles byte-identical RNG state, so without this the
+    # first batch of each worker would draw identical episode randomness
+    with worker_counter.get_lock():
+        worker_id = worker_counter.value
+        worker_counter.value += 1
+    if base_seed is not None and hasattr(_WORKER_DATASET, "reseed"):
+        _WORKER_DATASET.reseed(int(base_seed) + worker_id)
 
 
 def _proc_collate(indices) -> bytes:
@@ -53,6 +61,7 @@ class EpisodeLoader:
         prefetch_batches: int = 2,
         group_size: int = 1,
         use_processes: bool = False,
+        seed: Optional[int] = None,
     ):
         """``group_size`` merges that many consecutive per-rank batches (the
         sampler replicates each shape tuple once per data-parallel rank,
@@ -64,6 +73,7 @@ class EpisodeLoader:
         self.prefetch_batches = prefetch_batches
         self.group_size = max(1, group_size)
         self.use_processes = use_processes
+        self.seed = seed
         self._pool: Optional[ProcessPoolExecutor] = None
 
     def __len__(self):
@@ -74,18 +84,37 @@ class EpisodeLoader:
     def _process_pool(self) -> ProcessPoolExecutor:
         """Lazily started, reused across epochs (spawn cost ~seconds)."""
         if self._pool is None:
+            ctx = multiprocessing.get_context("spawn")
+            counter = ctx.Value("i", 0)
             self._pool = ProcessPoolExecutor(
                 self.num_workers,
-                mp_context=multiprocessing.get_context("spawn"),
+                mp_context=ctx,
                 initializer=_proc_init,
-                initargs=(pickle.dumps(self.dataset),),
+                initargs=(pickle.dumps(self.dataset), counter, self.seed),
             )
         return self._pool
+
+    def reseed(self, seed: int) -> None:
+        """Reseed the dataset for the seeded rerun protocol (reference:
+        experiment/run.py:618-641 seed = base + run). In process mode the
+        workers hold their own dataset copies, so the pool is torn down and
+        respawned from the reseeded pickle on the next iteration."""
+        self.seed = seed
+        if hasattr(self.dataset, "reseed"):
+            self.dataset.reseed(seed)
+        if self._pool is not None:
+            self.close()
 
     def close(self) -> None:
         if self._pool is not None:
             self._pool.shutdown(cancel_futures=True)
             self._pool = None
+
+    def __del__(self):  # best-effort; Run/Experimenter also close explicitly
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _groups(self):
         group, n_batches = [], 0

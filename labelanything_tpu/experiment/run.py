@@ -159,7 +159,8 @@ class Run:
             self.train_loader = EpisodeLoader(
                 dataset, sampler, num_workers,
                 group_size=self.num_processes,
-                use_processes=_first(dl.get("use_processes", False)))
+                use_processes=_first(dl.get("use_processes", False)),
+                seed=self.seed)
             self.train_dataset = dataset
 
         self.val_loaders = {}
@@ -177,7 +178,8 @@ class Run:
             self.val_loaders[name] = EpisodeLoader(
                 dataset, sampler, num_workers,
                 group_size=self.num_processes,
-                use_processes=_first(dl.get("use_processes", False)))
+                use_processes=_first(dl.get("use_processes", False)),
+                seed=self.seed)
         self.test_params = test_params
         self.common_params = common
 
@@ -268,7 +270,15 @@ class Run:
                     "best", epoch, f"{self.run_dir}/checkpoints/best",
                     metric=watch, value=value)
                 logger.info("new best %s=%.4f @ epoch %d", watch, value, epoch)
+        self.close()
         return best
+
+    def close(self):
+        """Release loader worker pools (process-mode loaders hold spawned
+        workers with full dataset copies until closed)."""
+        for loader in [self.train_loader, *getattr(self, "val_loaders", {}).values()]:
+            if loader is not None and hasattr(loader, "close"):
+                loader.close()
 
     def train_epoch(self, epoch: int):
         assert self.train_loader is not None, "no train datasets configured"
@@ -370,7 +380,8 @@ class Run:
                 # reference protocol: seed = base + run (run.py:618-641) so
                 # each rerun evaluates a DIFFERENT random episode draw
                 loader.batch_sampler.reseed(self.seed + run_idx)
-                loader.dataset.reseed(self.seed + run_idx)
+                loader.reseed(self.seed + run_idx)  # also respawns process
+                # workers so their dataset copies pick up the new seed
                 per_run.append(self._validate_one(loader, name))
             agg = {k: float(np.mean([r[k] for r in per_run]))
                    for k in per_run[0]}

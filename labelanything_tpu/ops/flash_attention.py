@@ -304,6 +304,11 @@ def _relpos_fwd_impl(q, k, v, rel_h, rel_w, scale: float,
     packed kernels (one kernel family to maintain); model code uses
     :func:`flash_attention_relpos_packed` directly to skip the stack."""
     bh, q_len, d = q.shape
+    # the packed kernels stack q/k/v, which requires square attention;
+    # SAM rel-pos attention always has q_len == Kh*Kw == k_len
+    assert k.shape == q.shape and v.shape == q.shape, (
+        "flash_attention_relpos requires q/k/v of identical shape "
+        f"(got {q.shape}, {k.shape}, {v.shape})")
     qkv = jnp.stack([q, k, v], axis=1)          # (BH, 3, HW, D)
     r = (jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
          * _LOG2E).astype(q.dtype)[:, None]     # (BH, 1, HW, Kh+Kw)

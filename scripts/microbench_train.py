@@ -13,26 +13,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, args, steps=12, reps=3, donate=False):
-    jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+def timed(fn, args, steps=12, reps=3):
+    jfn = jax.jit(fn)
     out = None
-    state = args[0]
     for _ in range(2):
-        out = jfn(state, *args[1:])
-        state = out[0] if isinstance(out, tuple) else args[0]
-        if donate:
-            args = (state,) + args[1:]
-    sync = out[1] if isinstance(out, tuple) else out
-    float(jnp.sum(jax.tree.leaves(sync)[0].astype(jnp.float32)))
+        out = jfn(*args)
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
-            out = jfn(args[0], *args[1:]) if not donate else None
-            if donate:
-                break
-        sync = out[1] if isinstance(out, tuple) else out
-        float(jnp.sum(jax.tree.leaves(sync)[0].astype(jnp.float32)))
+            out = jfn(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
         times.append((time.perf_counter() - t0) / steps)
     return sorted(times)[len(times) // 2]
 

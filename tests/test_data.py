@@ -229,3 +229,26 @@ def test_episode_loader_process_mode(coco_dir):
         assert BatchKeys.IMAGES in batch or BatchKeys.EMBEDDINGS in batch
     finally:
         loader.close()
+
+
+def test_native_rle_matches_numpy_codec():
+    """The ctypes C decoder (csrc/larle.c) must agree with the pure-NumPy
+    codec on round-tripped random masks; skip only if no C compiler built
+    the shared object."""
+    from labelanything_tpu.data import native, rle
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest as _pytest
+        _pytest.skip("native RLE lib unavailable (no C compiler)")
+
+    rng = np.random.default_rng(0)
+    for h, w in [(37, 61), (64, 64), (128, 96)]:
+        mask = (rng.random((h, w)) < 0.3).astype(np.uint8)
+        obj = rle.encode(mask)
+        # decode() prefers the native path when available
+        dec = rle.decode(obj)
+        np.testing.assert_array_equal(dec, mask)
+        fast = native.rle_decode(obj["counts"], h, w)
+        assert fast is not None
+        np.testing.assert_array_equal(fast, mask)

@@ -5,8 +5,10 @@ deltas) and polygon rasterization, i.e. the subset of ``pycocotools.mask``
 the reference relies on (frPyObjects / merge / decode — reference:
 data/transforms.py:76-100). Column-major (Fortran) order per the COCO spec.
 
-A C++ batch decoder for the episode-assembly hot loop is a planned upgrade;
-this module defines the behavioural contract and the fallback.
+``decode`` routes through the native C decoder (csrc/larle.c, loaded via
+ctypes in data/native.py) when a C compiler built it; this module defines
+the behavioural contract and the fallback (parity-tested in
+tests/test_data.py::test_native_rle_matches_numpy_codec).
 """
 
 from __future__ import annotations

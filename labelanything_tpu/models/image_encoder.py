@@ -69,29 +69,6 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     return rel_pos[relative_coords.astype(jnp.int32)]
 
 
-def decomposed_rel_pos_bias(
-    q: jax.Array,
-    rel_pos_h: jax.Array,
-    rel_pos_w: jax.Array,
-    q_size: Tuple[int, int],
-    k_size: Tuple[int, int],
-) -> jax.Array:
-    """Decomposed rel-pos attention bias (reference: image_encoder.py:340-376).
-
-    q: (B*, q_h*q_w, head_dim). Returns (B*, q_h*q_w, k_h*k_w).
-    """
-    q_h, q_w = q_size
-    k_h, k_w = k_size
-    rh = get_rel_pos(q_h, k_h, rel_pos_h)  # (q_h, k_h, d)
-    rw = get_rel_pos(q_w, k_w, rel_pos_w)  # (q_w, k_w, d)
-    bsz, _, dim = q.shape
-    r_q = q.reshape(bsz, q_h, q_w, dim)
-    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)
-    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)
-    bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B, qh, qw, kh, kw)
-    return bias.reshape(bsz, q_h * q_w, k_h * k_w)
-
-
 class PatchEmbed(nn.Module):
     """Patch embedding as space-to-depth + matmul (reference:
     image_encoder.py:379-409 uses a strided conv).

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--encoder", choices=["vit_b", "vit_l", "vit_h"],
                     default=None, help="vit mode only")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="decode mode: all steps in one jitted fori_loop "
+                         "(pure device throughput, no per-step dispatch)")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -38,6 +41,8 @@ def main():
         kw["steps"] = args.steps
     if args.encoder and args.mode == "vit":
         kw["encoder"] = args.encoder
+    if args.device_loop and args.mode == "decode":
+        kw["device_loop"] = True
     fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train}
     result = fns[args.mode](**kw)
 

@@ -21,6 +21,7 @@ assembly offers two modes:
 from __future__ import annotations
 
 import multiprocessing
+import os
 import pickle
 import queue
 import threading
@@ -86,11 +87,17 @@ class EpisodeLoader:
         if self._pool is None:
             ctx = multiprocessing.get_context("spawn")
             counter = ctx.Value("i", 0)
+            # With seed=None every spawned worker would unpickle byte-identical
+            # dataset RNG state and draw duplicate episode randomness; derive a
+            # one-shot fallback so base+worker_id decorrelation always applies.
+            seed = self.seed
+            if seed is None:
+                seed = int.from_bytes(os.urandom(4), "little")
             self._pool = ProcessPoolExecutor(
                 self.num_workers,
                 mp_context=ctx,
                 initializer=_proc_init,
-                initargs=(pickle.dumps(self.dataset), counter, self.seed),
+                initargs=(pickle.dumps(self.dataset), counter, seed),
             )
         return self._pool
 

@@ -1,9 +1,10 @@
 """Model registry (reference: label_anything/models/__init__.py:33-60).
 
-Maps config names to architecture builders. Competitor baselines (DCAMA,
-FPTrans, PANet, PPNet, DENet) are eval-only vendored models in the reference;
-their TPU ports are tracked for later rounds and raise with a clear message
-until then.
+Maps config names to architecture builders: the LAM family, SAM, the
+similarity/dummy test models, the HF-encoder builders, and all seven
+competitor baselines (DCAMA, FPTrans, PANet, PPNet, DENet, BAM, HDMNet) —
+each a TPU-native eval-only port with a torch forward-parity test
+(tests/test_{dcama,fptrans,ppnet,denet,bam,hdmnet}.py).
 """
 
 from __future__ import annotations
@@ -22,16 +23,6 @@ from .build_lam import (
 )
 from .dummy import build_dummy
 from .similarity import build_similarity
-
-
-def _not_ported(name):
-    def _raise(**kwargs):
-        raise NotImplementedError(
-            f"Competitor baseline {name!r} is not ported to TPU yet "
-            "(eval-only model in the reference)."
-        )
-
-    return _raise
 
 
 model_registry = {

@@ -61,6 +61,10 @@ _LOG2E = 1.4426950408889634  # exp(x) == exp2(x * log2(e))
 # grid/block logic is covered without TPU hardware.
 _INTERPRET = False
 
+# Debug mode: skip the softmax-denominator underflow clamp so a row whose
+# bounded shift is pathologically loose produces NaN (loud) instead of 0.
+_DEBUG_DENOM = False
+
 
 def _pick_block_q(q_len: int) -> int:
     """Largest q-block (multiple of the 128-row MXU tile) dividing q_len.
@@ -93,7 +97,13 @@ def _pick_group(bh: int, tile_elems: int, budget: int = 2_000_000) -> int:
 
 
 def _augment_v(v: jax.Array) -> jax.Array:
-    """Append a ones column: PV then yields [P@V | rowsum(P)] in one matmul."""
+    """Append a ones column: PV then yields [P@V | rowsum(P)] in one matmul.
+
+    The "free column" premise holds only when head_dim is NOT a multiple of
+    the 128-lane tile width (SAM/LAM head dims are 64/80 — always padded
+    anyway). For d % 128 == 0 the d+1 column would push PV onto the next
+    lane tile, roughly doubling PV width and VMEM; such shapes should
+    prefer a VPU rowsum denominator instead."""
     ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
     return jnp.concatenate([v, ones], axis=-1)
 
@@ -105,8 +115,14 @@ def _finish(o_aug: jax.Array, d: int, out_dtype) -> jax.Array:
     the exact max) there is no max(p) == 1 guarantee, so a pathologically
     loose bound (large ||q||*||k|| with near-orthogonal vectors) could
     underflow every exp2 term and 0/0 a whole row; clamping yields 0 for
-    such rows instead of NaN. Healthy rows (denom >= ~2^-100) are exact."""
-    denom = jnp.maximum(o_aug[..., d:d + 1], jnp.finfo(jnp.float32).tiny)
+    such rows instead of NaN. Healthy rows (denom >= ~2^-100) are exact.
+    Note the XLA backward recomputes the EXACT softmax, so a silently
+    zeroed forward row would disagree with its gradient — set
+    ``_DEBUG_DENOM = True`` (tests) to turn dead rows into NaN so the
+    training NaN sentinel trips instead."""
+    denom = o_aug[..., d:d + 1]
+    if not _DEBUG_DENOM:
+        denom = jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
     return (o_aug[..., :d] / denom).astype(out_dtype)
 
 

@@ -112,10 +112,7 @@ def _stream_encode(files, *, image_size, custom_preprocess, batch_size,
         out[:h, :w] = arr
         return image_id, out, (h, w)
 
-    io_pool = ThreadPoolExecutor(num_workers)
-    write_pool = ThreadPoolExecutor(4)
-
-    def fetch_and_queue(ids, out, pending):
+    def fetch_and_queue(ids, out, pending, write_pool):
         host = jax.tree.map(np.asarray, out)
         for i, image_id in enumerate(ids):
             per_image = jax.tree.map(lambda a: a[i], host)
@@ -124,32 +121,34 @@ def _stream_encode(files, *, image_size, custom_preprocess, batch_size,
     t0 = time.time()
     done = 0
     batches = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
-    loaded_iter = iter(io_pool.map(
-        lambda chunk: [load_one(it) for it in chunk], batches))
-    pending = []
-    in_flight = None
-    for chunk in loaded_iter:
-        ids = [c[0] for c in chunk]
-        arrs = np.stack([c[1] for c in chunk])
-        hws = np.asarray([c[2] for c in chunk], np.int32)
-        pad = batch_size - len(ids)
-        if pad:
-            arrs = np.concatenate([arrs, np.zeros((pad,) + arrs.shape[1:],
-                                                  arrs.dtype)])
-            hws = np.concatenate([hws, np.zeros((pad, 2), np.int32)])
-        out = encode(params, jnp.asarray(arrs), jnp.asarray(hws))
+    with ThreadPoolExecutor(num_workers) as io_pool, \
+            ThreadPoolExecutor(4) as write_pool:
+        loaded_iter = iter(io_pool.map(
+            lambda chunk: [load_one(it) for it in chunk], batches))
+        pending = []
+        in_flight = None
+        for chunk in loaded_iter:
+            ids = [c[0] for c in chunk]
+            arrs = np.stack([c[1] for c in chunk])
+            hws = np.asarray([c[2] for c in chunk], np.int32)
+            pad = batch_size - len(ids)
+            if pad:
+                arrs = np.concatenate([arrs, np.zeros((pad,) + arrs.shape[1:],
+                                                      arrs.dtype)])
+                hws = np.concatenate([hws, np.zeros((pad, 2), np.int32)])
+            out = encode(params, jnp.asarray(arrs), jnp.asarray(hws))
+            if in_flight is not None:
+                fetch_and_queue(*in_flight, pending, write_pool)
+            in_flight = (ids, out)
+            done += len(ids)
+            if done % (batch_size * 10) < batch_size:
+                rate = done / (time.time() - t0)
+                logger.info("%d/%d %s (%.1f img/s)", done, len(files),
+                            log_label, rate)
         if in_flight is not None:
-            fetch_and_queue(*in_flight, pending)
-        in_flight = (ids, out)
-        done += len(ids)
-        if done % (batch_size * 10) < batch_size:
-            rate = done / (time.time() - t0)
-            logger.info("%d/%d %s (%.1f img/s)", done, len(files), log_label,
-                        rate)
-    if in_flight is not None:
-        fetch_and_queue(*in_flight, pending)
-    for f in pending:
-        f.result()
+            fetch_and_queue(*in_flight, pending, write_pool)
+        for f in pending:
+            f.result()
     rate = done / (time.time() - t0)
     logger.info("finished: %d %s at %.2f images/sec", done, log_label, rate)
     return rate

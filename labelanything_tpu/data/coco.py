@@ -25,6 +25,7 @@ from PIL import Image
 from ..typing import AnnFileKeys, BatchKeys, BatchMetadataKeys, IGNORE_INDEX, PromptType
 from .examples import build_example_generator
 from .schema import flags_merge
+from .rng import EpisodeRng
 from .transforms import PromptsProcessor, get_preprocess_shape, preprocess_image
 
 
@@ -149,7 +150,7 @@ class CocoLVISDataset:
         self.all_example_categories = all_example_categories
         self.sample_function = sample_function
         self.custom_preprocess = custom_preprocess
-        self.rng = np.random.default_rng(seed)
+        self.rng = EpisodeRng(seed)
 
         instances = load_instances(instances_path)
         self.annotations = {x[AnnFileKeys.ID]: x
@@ -179,6 +180,13 @@ class CocoLVISDataset:
             custom_preprocess=custom_preprocess,
             rng=self.rng,
         )
+
+    def reseed(self, seed: int) -> None:
+        """Restart episode randomness from ``seed`` (validation rerun
+        protocol, reference: experiment/run.py:618-641). The example
+        generator and prompts processor share the same EpisodeRng object,
+        so reseeding in place reaches every consumer."""
+        self.rng.reseed(seed)
 
     # -- indexes --------------------------------------------------------- #
 
@@ -213,15 +221,17 @@ class CocoLVISDataset:
 
     def _load_safe(self, img_data: dict):
         """Load a per-image safetensors embedding cache, returned channels-last
-        (reference: coco.py:251-276 stores CxHxW)."""
+        (reference: coco.py:251-276 stores CxHxW). Pyramid caches
+        ({"stageN": ...}, reference: preprocess.py:309-322) come back as
+        stage dicts."""
         from safetensors.numpy import load_file
+
+        from .embeddings import embedding_from_file
 
         f = load_file(
             f"{self.emb_dir}/{str(img_data[AnnFileKeys.ID]).zfill(12)}.safetensors"
         )
-        embedding = f["embedding"]
-        if embedding.ndim == 3:
-            embedding = embedding.transpose(1, 2, 0)
+        embedding = embedding_from_file(f)
         gt = f.get(f"{self.name}_gt") if self.load_gts else None
         return embedding, gt
 
@@ -234,9 +244,11 @@ class CocoLVISDataset:
 
     def _get_images_or_embeddings(self, image_ids):
         if self.load_embeddings:
+            from .embeddings import stack_embeddings
+
             pairs = [self._load_safe(self.images[i]) for i in image_ids]
             embeddings, gts = zip(*pairs)
-            return (np.stack(embeddings), BatchKeys.EMBEDDINGS,
+            return (stack_embeddings(list(embeddings)), BatchKeys.EMBEDDINGS,
                     None if not self.load_gts else gts)
         images = []
         for i in image_ids:

@@ -93,13 +93,29 @@ class LabelAnythingDataset:
     def reseed(self, seed: int):
         """Reset every sub-dataset's episode rng (validation reruns)."""
         for ds in self.datasets.values():
-            if hasattr(ds, "rng"):
+            if hasattr(ds, "reseed"):
+                ds.reseed(seed)
+            elif hasattr(ds, "rng"):
                 ds.rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int):
+        """Mix the epoch into episode randomness so each training epoch
+        re-draws prompts/examples (the reference gets this from stateful
+        worker RNG streams; episode-keyed seeding needs the epoch
+        explicitly)."""
+        self._epoch = int(epoch)
 
     def __getitem__(self, idx_metadata):
         idx, batch_metadata = idx_metadata
         name, dataset_index = self.index[idx]
-        return self.datasets[name][(dataset_index, batch_metadata)], name
+        ds = self.datasets[name]
+        rng = getattr(ds, "rng", None)
+        if hasattr(rng, "begin_episode"):
+            # every draw for this episode becomes a pure function of
+            # (seed, epoch, idx) — deterministic under any worker
+            # scheduling (see data/rng.py)
+            rng.begin_episode((getattr(self, "_epoch", 0), idx))
+        return ds[(dataset_index, batch_metadata)], name
 
     def collate_fn(self, batched_input: List[Tuple[dict, str]]):
         """Pad episode items into one fixed-shape batch. Returns
@@ -147,7 +163,12 @@ class LabelAnythingDataset:
 
         image_key = (BatchKeys.EMBEDDINGS if BatchKeys.EMBEDDINGS in items[0]
                      else BatchKeys.IMAGES)
-        batch[image_key] = np.stack([x[image_key] for x in items])
+        vals = [x[image_key] for x in items]
+        if isinstance(vals[0], dict):  # pyramid caches stack per stage
+            batch[image_key] = {k: np.stack([v[k] for v in vals])
+                                for k in vals[0]}
+        else:
+            batch[image_key] = np.stack(vals)
 
         classes = [x[BatchKeys.CLASSES] for x in items]
         flag_gts = np.zeros((b, max_classes), bool)

@@ -36,20 +36,23 @@ _WORKER_DATASET = None
 def _proc_init(pickled_dataset: bytes, worker_counter, base_seed) -> None:
     global _WORKER_DATASET
     _WORKER_DATASET = pickle.loads(pickled_dataset)
-    # per-worker reseed (reference torch DataLoader: base_seed + worker_id):
-    # every worker unpickles byte-identical RNG state, so without this the
-    # first batch of each worker would draw identical episode randomness
+    # all workers share the SAME base seed: episode randomness is keyed by
+    # (seed, epoch, episode_index) via EpisodeRng (data/rng.py), so draws
+    # are identical no matter which worker assembles an episode — stricter
+    # than the reference's per-worker streams, and what seeded validation
+    # reruns need. The counter stays for workers to know their id.
     with worker_counter.get_lock():
-        worker_id = worker_counter.value
         worker_counter.value += 1
     if base_seed is not None and hasattr(_WORKER_DATASET, "reseed"):
-        _WORKER_DATASET.reseed(int(base_seed) + worker_id)
+        _WORKER_DATASET.reseed(int(base_seed))
 
 
-def _proc_collate(indices) -> bytes:
+def _proc_collate(indices, epoch: int = 0) -> bytes:
     """Assemble + collate one batch inside the worker; returns the collated
     pytree (pickled implicitly by the executor)."""
     ds = _WORKER_DATASET
+    if hasattr(ds, "set_epoch"):
+        ds.set_epoch(epoch)
     return ds.collate_fn([ds[i] for i in indices])
 
 
@@ -75,6 +78,7 @@ class EpisodeLoader:
         self.group_size = max(1, group_size)
         self.use_processes = use_processes
         self.seed = seed
+        self._epoch = 0
         self._pool: Optional[ProcessPoolExecutor] = None
 
     def __len__(self):
@@ -112,6 +116,13 @@ class EpisodeLoader:
         if self._pool is not None:
             self.close()
 
+    def set_epoch(self, epoch: int) -> None:
+        """Propagate the epoch into episode seeding (data/rng.py). Process
+        workers receive it with each submitted batch, so no respawn."""
+        self._epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
     def close(self) -> None:
         if self._pool is not None:
             self._pool.shutdown(cancel_futures=True)
@@ -139,7 +150,7 @@ class EpisodeLoader:
         pending = []
         window = self.num_workers + self.prefetch_batches
         for group in self._groups():
-            pending.append(pool.submit(_proc_collate, group))
+            pending.append(pool.submit(_proc_collate, group, self._epoch))
             while len(pending) >= window:
                 yield pending.pop(0).result()
         for fut in pending:

@@ -19,6 +19,7 @@ from ..typing import BatchKeys, BatchMetadataKeys, IGNORE_INDEX, PromptType
 from .coco import annotations_to_tensor
 from .examples import build_example_generator
 from .schema import flags_merge
+from .rng import EpisodeRng
 from .transforms import PromptsProcessor, get_preprocess_shape, preprocess_image
 
 PASCAL_CATEGORIES = {
@@ -73,7 +74,7 @@ class PascalDataset:
         self.num_samples = num_samples
         self.sample_function = sample_function
         self.custom_preprocess = custom_preprocess
-        self.rng = np.random.default_rng(seed)
+        self.rng = EpisodeRng(seed)
         self.categories = dict(PASCAL_CATEGORIES)
 
         split_file = os.path.join(data_dir, "ImageSets", "Segmentation",
@@ -105,6 +106,11 @@ class PascalDataset:
             categories_to_imgs=self.cat2img,
             sample_function=self.sample_function, rng=self.rng)
 
+    def reseed(self, seed: int) -> None:
+        """Restart episode randomness (rerun protocol); the generator and
+        prompts processor share this EpisodeRng object."""
+        self.rng.reseed(seed)
+
     def _get_seg(self, image_name: str) -> np.ndarray:
         seg = np.asarray(Image.open(
             os.path.join(self.masks_dir, image_name + ".png")), np.int64)
@@ -135,13 +141,14 @@ class PascalDataset:
         if self.load_embeddings:
             from safetensors.numpy import load_file
 
+            from .embeddings import embedding_from_file, stack_embeddings
+
             embs, gts = [], []
             for n in image_names:
                 f = load_file(f"{self.emb_dir}/{n}.safetensors")
-                e = f["embedding"]
-                embs.append(e.transpose(1, 2, 0) if e.ndim == 3 else e)
+                embs.append(embedding_from_file(f))
                 gts.append(f.get(f"{self.name}_gt"))
-            return (np.stack(embs), BatchKeys.EMBEDDINGS,
+            return (stack_embeddings(embs), BatchKeys.EMBEDDINGS,
                     gts if self.load_gts else None)
         images = []
         for n in image_names:

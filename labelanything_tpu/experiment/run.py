@@ -38,24 +38,114 @@ logger = get_logger(__name__)
 
 _HOST_KEYS = (BatchKeys.CLASSES, BatchKeys.IMAGE_IDS, BatchKeys.INTENDED_CLASSES)
 
+# (all-zero flag key) -> keys removed when that prompt modality is absent
+_MODALITY_KEYS = (
+    (BatchKeys.FLAG_POINTS, (BatchKeys.PROMPT_POINTS, BatchKeys.FLAG_POINTS)),
+    (BatchKeys.FLAG_BBOXES, (BatchKeys.PROMPT_BBOXES, BatchKeys.FLAG_BBOXES)),
+    (BatchKeys.FLAG_MASKS, (BatchKeys.PROMPT_MASKS, BatchKeys.FLAG_MASKS)),
+)
+
+
+def drop_absent_modalities(batch: Dict[str, Any],
+                           example_rows: Optional[slice] = None) -> Dict[str, Any]:
+    """Mirror the reference's data-dependent prompt-modality gating.
+
+    ``Lam.prepare_prompts`` (reference: lam.py:215-239) drops a whole prompt
+    modality when its flags are all zero — and absence changes the sparse
+    token layout downstream (with boxes absent, ``_embed_points`` appends a
+    null padding point; with points+boxes absent, ``no_sparse_embedding`` is
+    used). The loader draws ONE prompt-type combination per batch, so whole
+    modalities are routinely absent. This check is data-dependent Python
+    control flow, so it must run on the HOST (numpy flags) before jit; each
+    surviving modality combination is its own (cached) jit specialization.
+
+    ``example_rows`` restricts the check to the prompt-providing example
+    rows — validation's single Substitutor pass uses rows ``1..N``
+    (``divide_query_examples``), matching what the reference's model-level
+    check sees. Training rotations vary the rows per pass, so the train loop
+    checks the whole batch (the union over passes; a modality present only
+    on the current query row is kept here but dropped by the reference —
+    a rare, documented deviation that does not change the model family).
+
+    If every modality would be dropped, the batch is returned unchanged
+    (the reference raises "No prompts provided"; a fully flag-padded batch
+    is handled fine by the flag-aware encoder)."""
+    absent = []
+    present = 0
+    for flag_key, keys in _MODALITY_KEYS:
+        flags = batch.get(flag_key)
+        if flags is None:
+            continue
+        f = np.asarray(flags)
+        if example_rows is not None:
+            f = f[:, example_rows]
+        if (f == 0).all():
+            absent.append(keys)
+        else:
+            present += 1
+    if not absent or present == 0:
+        return batch
+    out = dict(batch)
+    for keys in absent:
+        for k in keys:
+            out.pop(k, None)
+    return out
+
+
+def with_all_modalities(input_dict: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Re-add zero dummies for dropped prompt modalities (parameter
+    initialization only: ``model.init`` must trace every modality branch so
+    the full parameter tree exists regardless of which modalities the first
+    batch happened to carry)."""
+    out = dict(input_dict)
+    b, m, c = out[BatchKeys.FLAG_EXAMPLES].shape
+    if BatchKeys.PROMPT_POINTS not in out:
+        out[BatchKeys.PROMPT_POINTS] = jnp.zeros((b, m, c, 1, 2), jnp.float32)
+        out[BatchKeys.FLAG_POINTS] = jnp.zeros((b, m, c, 1), jnp.int32)
+    if BatchKeys.PROMPT_BBOXES not in out:
+        out[BatchKeys.PROMPT_BBOXES] = jnp.zeros((b, m, c, 1, 4), jnp.float32)
+        out[BatchKeys.FLAG_BBOXES] = jnp.zeros((b, m, c, 1), jnp.int32)
+    if BatchKeys.PROMPT_MASKS not in out:
+        # two stride-2 convs in mask_downscaling: H, W divisible by 4
+        out[BatchKeys.PROMPT_MASKS] = jnp.zeros((b, m, c, 8, 8), jnp.float32)
+        out[BatchKeys.FLAG_MASKS] = jnp.zeros((b, m, c), jnp.int32)
+    return out
+
 
 def to_global_lut(classes: List[List[List[int]]], categories: Dict[int, dict],
-                  num_episode_classes: int) -> np.ndarray:
+                  num_episode_classes: int, cascade: bool = True) -> np.ndarray:
     """Per-sample LUT episode-class-idx -> global class idx
     (reference: data/utils.py:568-589). Returns (B, C_episode) int.
 
     The global index follows the categories dict INSERTION order (the
     reference's cats_map = {k: i+1 for i, k in enumerate(categories.keys())}),
-    not sorted ids — proven equivalent by tests/test_metrics.py."""
+    not sorted ids — proven equivalent by tests/test_metrics.py.
+
+    ``cascade=True`` (default) folds the reference's sequential IN-PLACE
+    substitution semantics: ``to_global_multiclass`` rewrites the tensor one
+    episode index at a time, so a freshly-written global value that equals a
+    LATER episode index gets substituted AGAIN (e.g. episode ranks (2, 5):
+    local 1 -> 2 -> 5, collapsing two ways). The published benchmark numbers
+    were produced with this behavior, so protocol-parity evaluation must
+    measure with the same ruler (tests/test_protocol_parity.py pins exact
+    agreement). Pass ``cascade=False`` for the intended independent mapping."""
     global_index = {cid: i + 1 for i, cid in enumerate(categories.keys())}
     b = len(classes)
     lut = np.zeros((b, num_episode_classes), np.int64)
     for i, sample_classes in enumerate(classes):
         episode_cats = sorted(set(
             c for img_classes in sample_classes for c in img_classes))
-        for j, cid in enumerate(episode_cats, start=1):
-            if j < num_episode_classes:
-                lut[i, j] = global_index.get(cid, 0)
+        if cascade:
+            for k in range(num_episode_classes):
+                v = k
+                for j, cid in enumerate(episode_cats):
+                    if v == j + 1:
+                        v = global_index.get(cid, v)
+                lut[i, k] = v
+        else:
+            for j, cid in enumerate(episode_cats, start=1):
+                if j < num_episode_classes:
+                    lut[i, j] = global_index.get(cid, 0)
     return lut
 
 
@@ -185,15 +275,16 @@ class Run:
 
     # ------------------------------------------------------------------ #
 
-    def _device_batch(self, batch):
-        device = {k: jnp.asarray(v) for k, v in batch.items()
+    def _device_batch(self, batch, example_rows: Optional[slice] = None):
+        batch = drop_absent_modalities(batch, example_rows=example_rows)
+        device = {k: jax.tree.map(jnp.asarray, v) for k, v in batch.items()
                   if k not in _HOST_KEYS and v is not None}
         host = {k: batch.get(k) for k in _HOST_KEYS}
         return shard_batch(device, self.mesh), host
 
     def _lazy_init(self, input_dict, gt):
         params_model = jax.jit(self.model.init)(
-            jax.random.key(self.seed), input_dict)
+            jax.random.key(self.seed), with_all_modalities(input_dict))
         b, m, c = input_dict[BatchKeys.FLAG_EXAMPLES].shape
         embed_dim = self.model_params.get("embed_dim", 256)
         dummy_result = {
@@ -287,6 +378,11 @@ class Run:
         substitute = tp.get("substitute", True)
         num_points = tp.get("num_points", 1)
         check_nan = tp.get("check_nan", 0)
+
+        if hasattr(self.train_loader, "set_epoch"):
+            # fresh episode draws each epoch (episode rng is keyed by
+            # (seed, epoch, idx) — data/rng.py)
+            self.train_loader.set_epoch(epoch)
 
         categories = next(iter(self.train_dataset.datasets.values())).categories
         num_global = len(categories) + 1
@@ -404,7 +500,10 @@ class Run:
         cm2 = np.zeros((2, 2), np.int64)
         substitutor = Substitutor(substitute=False)
         for (batch, gts), _ in loader:
-            device_batch, host = self._device_batch(batch)
+            # single pass: prompts come from rows 1..N (query = row 0), so
+            # the modality check sees exactly what the reference's does
+            device_batch, host = self._device_batch(
+                batch, example_rows=slice(1, None))
             substitutor.reset(device_batch)
             input_dict, gt = next(substitutor)
             if self.state is None:
@@ -416,9 +515,11 @@ class Run:
                                 int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
             cm += global_confusion(preds, gts_np, lut, num_global)
             cm2 += binary_confusion_np(preds, gts_np)
+        # same triple as the reference validate_run return (run.py:735-742)
         return {
             "miou": float(strict_mean_iou(jnp.asarray(cm))),
             "fbiou": float(fb_iou(jnp.asarray(cm2))),
+            "bmiou": float(mean_iou(jnp.asarray(cm))),
         }
 
     # ------------------------------------------------------------------ #
@@ -451,7 +552,7 @@ class Run:
         return results
 
     def _test_one(self, dataset, name: str, batch_size: int) -> Dict[str, float]:
-        support = dataset.extract_prompts()
+        support = drop_absent_modalities(dataset.extract_prompts())
         support_dev = {k: jnp.asarray(v) for k, v in support.items()}
         if self.state is None:
             # initialize parameters from the support batch shapes

@@ -143,6 +143,8 @@ def _build_lam(
     dropout: float = 0.0,
     binary=False,
     custom_preprocess=True,
+    is_pyramids=False,
+    intermediate_channel_sizes=None,
     apply_masks=False,
     dtype=jnp.float32,
     encoder_dtype=None,
@@ -173,7 +175,17 @@ def _build_lam(
     if embeddings_per_example and not segment_example_logits:
         segment_example_logits = True
 
-    neck = None if image_embed_dim == embed_dim else Neck(embed_dim, dtype=dtype)
+    if is_pyramids:
+        # pyramid-cache path: embeddings arrive as {"stageN": ...} dicts and
+        # fuse to one map at the finest stride (reference: build_lam.py:172-178)
+        from .pyramids import PyramidLamNeck
+
+        neck = PyramidLamNeck(
+            intermediate_channel_sizes=tuple(intermediate_channel_sizes),
+            d_model=embed_dim, dtype=dtype)
+    else:
+        neck = None if image_embed_dim == embed_dim else Neck(embed_dim,
+                                                              dtype=dtype)
 
     pe_cls = PromptImagePoolEncoder if prompt_encoder == "TokenPool" else PromptImageEncoder
     prompt_encoder_mod = pe_cls(

@@ -77,14 +77,18 @@ class Lam(nn.Module):
         self, batched_input: Dict[str, jax.Array]
     ) -> Tuple[jax.Array, jax.Array]:
         """(reference: lam.py:138-170). Embeddings/images are (B, N, H, W, C)
-        channels-last; index 0 along N is the query."""
+        channels-last; index 0 along N is the query. A pyramid-cache dict
+        ``{"stageN": (B, N, H, W, C)}`` is fused by the is_pyramids neck."""
         if BatchKeys.EMBEDDINGS in batched_input:
             embeddings = batched_input[BatchKeys.EMBEDDINGS]
-            b, n = embeddings.shape[:2]
-            if self.neck is not None:
-                flat = embeddings.reshape((b * n,) + embeddings.shape[2:])
-                flat = self.neck(flat)
-                embeddings = flat.reshape((b, n) + flat.shape[1:])
+            if isinstance(embeddings, dict):
+                embeddings = self._fuse_pyramid(embeddings)
+            else:
+                b, n = embeddings.shape[:2]
+                if self.neck is not None:
+                    flat = embeddings.reshape((b * n,) + embeddings.shape[2:])
+                    flat = self.neck(flat)
+                    embeddings = flat.reshape((b, n) + flat.shape[1:])
         elif BatchKeys.IMAGES in batched_input:
             images = batched_input[BatchKeys.IMAGES]
             b, n = images.shape[:2]
@@ -97,9 +101,20 @@ class Lam(nn.Module):
             raise ValueError("Either 'images' or 'embeddings' must be provided.")
         return embeddings[:, 0], embeddings[:, 1:]
 
+    def _fuse_pyramid(self, pyramid: Dict[str, jax.Array]) -> jax.Array:
+        """Fuse a {"stageN": (B, N, H, W, C)} pyramid-cache dict through the
+        is_pyramids neck (reference: build_lam.py:172-178)."""
+        first = next(iter(pyramid.values()))
+        b, n = first.shape[:2]
+        flat = {k: v.reshape((b * n,) + v.shape[2:]) for k, v in pyramid.items()}
+        fused = self.neck(flat)
+        return fused.reshape((b, n) + fused.shape[1:])
+
     def prepare_embeddings(self, batched_input: Dict[str, jax.Array]) -> jax.Array:
         if BatchKeys.EMBEDDINGS in batched_input:
             embeddings = batched_input[BatchKeys.EMBEDDINGS]
+            if isinstance(embeddings, dict):
+                return self._fuse_pyramid(embeddings)
             b, n = embeddings.shape[:2]
             if self.neck is not None:
                 flat = embeddings.reshape((b * n,) + embeddings.shape[2:])

@@ -79,3 +79,25 @@ class PyramidNeck(nn.Module):
         fused = jnp.concatenate(projected, axis=-1)
         return nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
                        name="final_conv")(fused)
+
+
+class PyramidLamNeck(nn.Module):
+    """``is_pyramids`` neck of the base Lam: PyramidNeck followed by a
+    channel LayerNorm (reference: build_lam.py:173-178
+    ``nn.Sequential(PyramidNeck(...), LayerNorm2d(embed_dim))``). Consumes
+    a per-image feature-pyramid dict and emits one fused (B, H, W, d) map
+    at the finest level's resolution."""
+
+    intermediate_channel_sizes: Sequence[int]
+    d_model: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature_pyramid: Dict[str, jax.Array]) -> jax.Array:
+        from .common import LayerNorm2d
+
+        x = PyramidNeck(
+            intermediate_channel_sizes=tuple(self.intermediate_channel_sizes),
+            d_model=self.d_model, dtype=self.dtype, name="pyramid",
+        )(feature_pyramid)
+        return LayerNorm2d(self.d_model, dtype=self.dtype, name="ln")(x)

@@ -54,11 +54,21 @@ def mean_iou(confmat: jax.Array) -> jax.Array:
 
 
 def strict_mean_iou(confmat: jax.Array) -> jax.Array:
-    """Macro mIoU with the background IoU removed from the average
-    (reference: utils/metrics.py:28-37)."""
+    """Reference ``StrictMeanIoU`` (utils/metrics.py:28-37), replicated
+    EXACTLY for protocol parity: torchmetrics-1.7.1 macro mIoU over PRESENT
+    classes, then ``(macro * C_total - bg_iou) / (C_total - 1)`` where
+    ``C_total`` is the full confmat size — NOT the present-class count.
+    The two differ whenever any global class is absent from the eval
+    (early-epoch train windows, short val runs); matching the published
+    protocol requires the reference's formula, quirk included. When the
+    background class itself has no support the reference yields NaN; here
+    bg_iou clamps to 0 (never hit in practice — bg is always present)."""
     iou, valid = iou_per_class(confmat)
-    fg_iou, fg_valid = iou[1:], valid[1:]
-    return fg_iou.sum() / jnp.maximum(fg_valid.sum(), 1)
+    macro = iou.sum() / jnp.maximum(valid.sum(), 1)
+    c = confmat.shape[0]
+    bg_union = confmat[0, 0] + confmat[0, 1:].sum() + confmat[1:, 0].sum()
+    bg_iou = confmat[0, 0] / jnp.maximum(bg_union, 1)
+    return (macro * c - bg_iou) / (c - 1)
 
 
 def binary_confusion_matrix(preds: jax.Array, target: jax.Array) -> jax.Array:

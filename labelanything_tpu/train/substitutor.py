@@ -66,7 +66,10 @@ def apply_permutation(batch: Dict[str, jax.Array], perm: Tuple[int, ...]):
     out = dict(batch)
     for key in _KEYS_TO_EXCHANGE:
         if key in out:
-            out[key] = jnp.take(out[key], idx, axis=1)
+            # embeddings may be a pyramid-cache stage dict (reference
+            # handles the same case, substitution.py:221-225)
+            out[key] = jax.tree.map(lambda x: jnp.take(x, idx, axis=1),
+                                    out[key])
     return out
 
 
@@ -224,7 +227,10 @@ class Substitutor:
     @property
     def num_examples(self) -> int:
         key = BatchKeys.IMAGES if BatchKeys.IMAGES in self.batch else BatchKeys.EMBEDDINGS
-        return self.batch[key].shape[1]
+        value = self.batch[key]
+        if isinstance(value, dict):  # pyramid-cache stage dict
+            value = next(iter(value.values()))
+        return value.shape[1]
 
     def __iter__(self):
         return self

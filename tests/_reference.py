@@ -40,6 +40,35 @@ def setup() -> None:
     ry.comments = _stub("ruamel.yaml.comments")
     ruamel.yaml = ry
 
+    # pycocotools shim backed by the repo's own codec (data/rle.py), so the
+    # reference's transforms/substitution modules import and their RLE paths
+    # are functional (decode/encode/merge/frPyObjects over single or list)
+    if not hasattr(_stub("pycocotools"), "mask"):
+        import numpy as _np
+
+        from labelanything_tpu.data import rle as _rle
+
+        pc = _stub("pycocotools")
+        pcm = _stub("pycocotools.mask")
+
+        def _decode(r):
+            if isinstance(r, list):
+                return _np.stack([_rle.decode(x) for x in r], axis=-1)
+            return _rle.decode(r)
+
+        def _fr_py_objects(objs, h, w):
+            if isinstance(objs, list) and objs and isinstance(objs[0], list):
+                return [_rle.encode(_rle.poly_to_mask([p], h, w)) for p in objs]
+            if isinstance(objs, dict):
+                return _rle.encode(_rle.decode(objs))
+            return _rle.encode(_rle.poly_to_mask(objs, h, w))
+
+        pcm.decode = _decode
+        pcm.encode = lambda m: _rle.encode(_np.asarray(m))
+        pcm.merge = _rle.merge
+        pcm.frPyObjects = _fr_py_objects
+        pc.mask = pcm
+
     # torchvision shim: the reference only needs functional.resize and the
     # Normalize/Resize transform classes at import time
     import torch
@@ -152,13 +181,18 @@ def setup() -> None:
         def __init__(self, *a, **k):
             super().__init__()
 
+    # don't clobber on repeat calls: tests.torchmetrics_faithful.install()
+    # replaces the Jaccard classes with update/compute-faithful versions
     tm = _stub("torchmetrics")
     for name in ("Metric", "JaccardIndex", "AUROC", "F1Score",
                  "ConfusionMatrix", "Precision", "Recall"):
-        setattr(tm, name, _Metric)
+        if not hasattr(tm, name):
+            setattr(tm, name, _Metric)
     tmc = _stub("torchmetrics.classification")
-    tmc.BinaryJaccardIndex = tmc.JaccardIndex = _Metric
-    tmc.MulticlassJaccardIndex = _Metric
+    for name in ("BinaryJaccardIndex", "JaccardIndex",
+                 "MulticlassJaccardIndex"):
+        if not hasattr(tmc, name):
+            setattr(tmc, name, _Metric)
     tm.classification = tmc
     tmf = _stub("torchmetrics.functional")
     tmfc = _stub("torchmetrics.functional.classification")

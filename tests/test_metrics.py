@@ -95,13 +95,15 @@ def test_to_global_lut_matches_reference():
     np.testing.assert_array_equal(ours_mapped, ref_mapped.numpy())
 
 
-def test_to_global_multiclass_reference_cascade_bug():
-    """Pin the reference bug our LUT deliberately does NOT reproduce:
-    to_global_multiclass substitutes sequentially IN PLACE
-    (data/utils.py:583-589), so when an episode class's global value equals a
-    LATER episode index, already-substituted pixels are substituted again and
-    distinct ways collapse. Episode classes with global ranks (2, 5): the
-    reference maps local 1 -> 2 -> then every 2 (including those) -> 5."""
+def test_to_global_multiclass_reference_cascade():
+    """Pin the reference's sequential IN-PLACE substitution semantics
+    (data/utils.py:583-589): when an episode class's global value equals a
+    LATER episode index, already-substituted pixels are substituted again
+    and distinct ways collapse. Episode classes with global ranks (2, 5):
+    the reference maps local 1 -> 2 -> then every 2 (including those) -> 5.
+    The default LUT folds this cascade (published numbers were measured with
+    it — protocol parity requires the same ruler); cascade=False keeps the
+    intended independent mapping."""
     ref_du = load("label_anything.data.utils")
     from labelanything_tpu.experiment.run import to_global_lut
 
@@ -114,8 +116,11 @@ def test_to_global_multiclass_reference_cascade_bug():
     assert ref_mapped.numpy().tolist() == [[[0, 5, 5]]]  # ways collapsed!
 
     lut = to_global_lut(classes, categories, num_episode_classes=3)
-    ours = lut[0][gts[0]]
-    assert ours.tolist() == [[0, 2, 5]]  # intended non-cascading mapping
+    assert lut[0][gts[0]].tolist() == [[0, 5, 5]]  # cascade-faithful default
+
+    lut_fixed = to_global_lut(classes, categories, num_episode_classes=3,
+                              cascade=False)
+    assert lut_fixed[0][gts[0]].tolist() == [[0, 2, 5]]  # intended mapping
 
 
 def test_macro_f1_and_auc_consistency():

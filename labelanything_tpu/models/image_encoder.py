@@ -115,9 +115,15 @@ class ViTAttention(nn.Module):
     # (parallel/tp.py) must set use_kernel=False so attention takes the XLA
     # path, which GSPMD partitions. Pure data-parallel runs keep the kernel.
     use_kernel: bool = True
+    # > 0 enables the fused windowed-block path when called with residual=
+    # (see ops/fused_window.py); input_size is then the window size.
+    window_size: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 residual: Optional[jax.Array] = None) -> jax.Array:
+        if residual is not None:
+            return self._fused_window(x, residual)
         b, h, w, _ = x.shape
         head_dim = self.dim // self.num_heads
         hw = h * w
@@ -195,6 +201,75 @@ class ViTAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
+    def _fused_window(self, xn: jax.Array, residual: jax.Array) -> jax.Array:
+        """Fused windowed path (ops/fused_window.py): ``xn`` is the FULL-RES
+        normed map; padding, window partition, qkv, rel-pos attention, proj,
+        and the residual add all happen here, returning the full-res
+        ``residual + attn`` (the reference's partition/attention/unpartition
+        sequence, image_encoder.py:174-180, collapsed into one pallas_call).
+        Called from inside the compact ``__call__`` so parameter names match
+        the unfused path exactly."""
+        from ..ops.fused_window import fused_window_attention
+
+        assert self.use_rel_pos and self.window_size > 0
+        ws = self.window_size
+        b, h, w, _ = xn.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        if pad_h or pad_w:
+            # pad AFTER norm1, exactly like window_partition's zero pad
+            xn = jnp.pad(xn, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            residual = jnp.pad(residual,
+                               ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp_ = xn.shape[1:3]
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(xn)                    # (B, Hp, Wp, 3C)
+
+        rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.input_size[0] - 1, head_dim))
+        rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.input_size[1] - 1, head_dim))
+        rh_table = get_rel_pos(ws, ws, rel_pos_h).astype(self.dtype)
+        rw_table = get_rel_pos(ws, ws, rel_pos_w).astype(self.dtype)
+
+        nh, nw = hp // ws, wp_ // ws
+        q6 = qkv[..., :self.dim].reshape(
+            b, nh, ws, nw, ws, self.num_heads, head_dim)
+        rel_h = jnp.einsum("bAyBxnc,ykc->bAyBxnk", q6, rh_table)
+        rel_w = jnp.einsum("bAyBxnc,xkc->bAyBxnk", q6, rw_table)
+        from ..ops.flash_attention import _LOG2E
+
+        r = (jnp.concatenate([rel_h, rel_w], axis=-1)
+             * jnp.asarray(_LOG2E, self.dtype))
+        r = r.transpose(0, 5, 1, 2, 3, 4, 6).reshape(
+            b, self.num_heads, hp, wp_, 2 * ws)
+
+        w_proj, b_proj = _DenseParams(self.dim, name="proj")(self.dim)
+
+        out = fused_window_attention(residual, qkv, r, w_proj, b_proj,
+                                     scale, self.num_heads, ws)
+        return out[:, :h, :w]
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense-compatible parameters ({kernel, bias}, same names and
+    initializers as flax ``nn.Dense``) WITHOUT applying the layer, so fused
+    kernels can consume the raw arrays while the parameter tree stays
+    identical to the unfused path (checkpoint/import compatibility)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
 
 class ViTBlock(nn.Module):
     """Windowed/global transformer block (reference: image_encoder.py:134-197)."""
@@ -212,12 +287,12 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.attention import _on_tpu
+        from ..ops import fused_window as _fw
+
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        if self.window_size > 0:
-            h, w = x.shape[1], x.shape[2]
-            x, pad_hw = window_partition(x, self.window_size)
-        x = ViTAttention(
+        attn = ViTAttention(
             dim=self.dim,
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -228,11 +303,22 @@ class ViTBlock(nn.Module):
             ),
             dtype=self.dtype,
             use_kernel=self.use_kernel,
+            window_size=self.window_size,
             name="attn",
-        )(x)
-        if self.window_size > 0:
-            x = window_unpartition(x, self.window_size, pad_hw, (h, w))
-        x = shortcut + x
+        )
+        fused = (self.window_size > 0 and self.use_rel_pos and self.use_kernel
+                 and _fw._ENABLE and (_on_tpu() or _fw._INTERPRET))
+        if fused:
+            # partition/attention/unpartition/residual in one pallas_call
+            x = attn(x, residual=shortcut)
+        else:
+            if self.window_size > 0:
+                h, w = x.shape[1], x.shape[2]
+                x, pad_hw = window_partition(x, self.window_size)
+            x = attn(x)
+            if self.window_size > 0:
+                x = window_unpartition(x, self.window_size, pad_hw, (h, w))
+            x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(self.dim, int(self.dim * self.mlp_ratio), act=self.act,
                      dtype=self.dtype, name="mlp")(y)

@@ -1,0 +1,173 @@
+"""Score-tile dtype experiments for the global rel-pos attention kernel.
+
+PERF.md decomposition: the 8.2 ms global-attention kernel splits into a
+~4.2 ms MXU floor and ~4 ms of VPU exp2 over the fp32 (N, N) score tile.
+The VPU processes 2 bf16 lanes per fp32 lane, so computing the
+subtract+exp2 (and the bias add) on bf16 tiles should roughly halve the
+VPU line item. Numerics: softmax weights only matter in the top ~14
+octaves (p < 2^-14 is invisible in bf16 PV accumulation), where bf16's
+8-bit mantissa gives a worst-case ~4% per-weight error that averages out
+over the 4096-key sum — measured against the fp32 kernel below.
+
+Variants:
+  a. current packed kernel (fp32 scores, fp32 exp2)
+  b. fp32 score matmuls, bf16 subtract+exp2 (cast once after the bias add)
+  c. bf16 score matmuls (preferred_element_type=bf16), bf16 exp2
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from labelanything_tpu.ops.flash_attention import (
+    _BLOCK_K, _LOG2E, _augment_v, _finish, _onehot_expand, _pick_block_q,
+    _shift_bound, flash_attention_relpos_packed)
+
+
+def _kernel_variant(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
+                    scale: float, rh_width: int, block_k: int, mode: str):
+    q = qkv_q[0, 0].astype(jnp.float32) * (scale * _LOG2E)
+    k = qkv_k[0, 0].astype(jnp.float32)
+    v = _augment_v(qkv_v[0, 0])
+    r = r_ref[0, 0].astype(jnp.float32)
+    e = e_ref[...].astype(jnp.float32)
+    d = qkv_v.shape[-1]
+    m = _shift_bound(q, k, r, rh_width)
+
+    mb = m.astype(jnp.bfloat16)
+    k_len = k.shape[0]
+    o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
+    for kb_i in range(0, k_len, block_k):
+        s = jax.lax.dot_general(
+            q, k[kb_i:kb_i + block_k], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            r, e[:, kb_i:kb_i + block_k], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if mode == "b":
+            # fp32 subtract, bf16 exp2
+            p = jnp.exp2((s - m).astype(jnp.bfloat16))
+        elif mode == "c":
+            # one fp32->bf16 cast, bf16 subtract + exp2
+            p = jnp.exp2(s.astype(jnp.bfloat16) - mb)
+        else:
+            p = jnp.exp2(s - m).astype(v.dtype)
+        o = o + jax.lax.dot_general(
+            p.astype(v.dtype), v[kb_i:kb_i + block_k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = _finish(o, d, o_ref.dtype)
+
+
+def run_variant(qkv, r, scale, grid_hw, heads, mode):
+    b, slots, n, dh = qkv.shape
+    kh, kw = grid_hw
+    rr = kh + kw
+    e = _onehot_expand(kh, kw, qkv.dtype)
+    block_q = _pick_block_q(n)
+    block_k = _BLOCK_K if n % _BLOCK_K == 0 else n
+    grid = (b, heads, n // block_q)
+    return pl.pallas_call(
+        functools.partial(_kernel_variant, scale=scale, rh_width=kh,
+                          block_k=block_k, mode=mode),
+        out_shape=jax.ShapeDtypeStruct((b, heads, n, dh), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, dh), lambda i, h, j: (i, heads + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, dh),
+                         lambda i, h, j: (i, 2 * heads + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, rr), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rr, n), lambda i, h, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, dh),
+                               lambda i, h, j: (i, h, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv, qkv, qkv, r, e)
+
+
+def timed(fn, args, steps=6, reps=3):
+    @jax.jit
+    def chained(carry, *a):
+        out = fn(*a, carry)
+        return carry + jnp.sum(out.astype(jnp.float32))
+
+    carry = jnp.float32(0)
+    for _ in range(2):
+        carry = chained(carry, *args)
+    float(carry)
+    times = []
+    for _ in range(reps):
+        carry = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            carry = chained(carry, *args)
+        float(carry)
+        times.append((time.perf_counter() - t0) / steps)
+    return sorted(times)[len(times) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--copies", type=int, default=4)
+    args = ap.parse_args()
+
+    B, HEADS, GRID, HD = args.batch, 12, 64, 64
+    N = GRID * GRID
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(0.3 * rng.standard_normal((B, 3 * HEADS, N, HD)),
+                      jnp.bfloat16)
+    r = jnp.asarray(0.3 * rng.standard_normal((B, HEADS, N, 2 * GRID)),
+                    jnp.bfloat16)
+    scale = HD ** -0.5
+
+    # numerics first: max |Δ| vs the fp32-score kernel
+    ref = np.asarray(flash_attention_relpos_packed(
+        qkv, r, scale, (GRID, GRID), HEADS)).astype(np.float32)
+    for mode in ("a", "b", "c"):
+        out = np.asarray(run_variant(qkv, r, scale, (GRID, GRID), HEADS,
+                                     mode)).astype(np.float32)
+        err = np.abs(out - ref).max()
+        rel = err / max(np.abs(ref).max(), 1e-9)
+        print(f"mode {mode}: max abs err {err:.5f} rel {rel:.5f}", flush=True)
+
+    C = args.copies
+
+    def stack(mode):
+        def fn(q, c):
+            q = q + c.astype(q.dtype) * 0
+            out = q
+            for _ in range(C):
+                out = run_variant(out, r, scale, (GRID, GRID), HEADS, mode
+                                  ).reshape(B, HEADS, N, HD)
+                out = jnp.concatenate([out, out, out], axis=1)
+            return out
+        return fn
+
+    for mode in ("a", "b", "c"):
+        t = timed(stack(mode), (qkv,))
+        print(f"mode {mode}: {t * 1e3 / C:.3f} ms per kernel call", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--device-loop", action="store_true",
                     help="decode mode: all steps in one jitted fori_loop "
                          "(pure device throughput, no per-step dispatch)")
+    ap.add_argument("--tp", action="store_true",
+                    help="vit mode: head-sharded shard_map attention path")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -41,6 +43,8 @@ def main():
         kw["steps"] = args.steps
     if args.encoder and args.mode == "vit":
         kw["encoder"] = args.encoder
+    if args.tp and args.mode == "vit":
+        kw["tp"] = True
     if args.device_loop and args.mode == "decode":
         kw["device_loop"] = True
     fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train}

@@ -74,17 +74,23 @@ def _timed_chain(chained, params, x, steps: int, reps: int):
     return med / steps, spread
 
 
-def _vit_b_flops_per_image(image_size: int) -> float:
-    """Analytic matmul FLOPs for one SAM ViT-B forward at ``image_size``.
+# (embed_dim, depth, n_global_layers) per SAM encoder size
+# (reference: label_anything/models/build_encoder.py:14-60)
+_VIT_DIMS = {"vit_b": (768, 12, 4), "vit_l": (1024, 24, 4),
+             "vit_h": (1280, 32, 4)}
 
-    ViTDet ViT-B: patch 16, 12 layers, embed 768, MLP ratio 4, window 14
-    with global attention at 4 layers (reference:
-    label_anything/models/build_encoder.py:14-26). Counts 2*M*N*K per
-    matmul for qkv/proj/mlp, plus the two attention matmuls (windowed
-    layers attend within padded 14x14 windows; global layers over the
-    full grid), plus patch-embed and the 768->256 neck convs.
+
+def _vit_flops_per_image(image_size: int, encoder: str = "vit_b") -> float:
+    """Analytic matmul FLOPs for one SAM ViT forward at ``image_size``.
+
+    ViTDet: patch 16, MLP ratio 4, window 14 with global attention at 4
+    layers (reference: label_anything/models/build_encoder.py:14-60).
+    Counts 2*M*N*K per matmul for qkv/proj/mlp, plus the two attention
+    matmuls (windowed layers attend within padded 14x14 windows; global
+    layers over the full grid), plus patch-embed and the neck convs.
     """
-    d, mlp, layers, glob, win, patch = 768, 3072, 12, 4, 14, 16
+    d, layers, glob = _VIT_DIMS[encoder]
+    mlp, win, patch = 4 * d, 14, 16
     g = image_size // patch            # token grid side (64 @ 1024px)
     s = g * g                          # tokens per image
     pad = -(-g // win) * win           # grid padded to window multiple
@@ -99,14 +105,25 @@ def _vit_b_flops_per_image(image_size: int) -> float:
 
 
 def bench_vit(batch_size=8, image_size=1024, steps=8, reps=3,
-              encoder="vit_b"):
+              encoder="vit_b", tp=False):
+    """``tp=True`` builds the encoder with a tp_mesh over the local
+    device(s), exercising the head-sharded shard_map attention path
+    (ViTAttention._tp_attention) with the Pallas kernels alive — on one
+    chip this is a (1, 1) mesh, so the number is directly comparable to
+    the non-TP mode (it measures the TP code path's overhead)."""
     from labelanything_tpu.models.build_encoder import (build_vit_b,
                                                         build_vit_h,
                                                         build_vit_l)
 
     builders = {"vit_b": build_vit_b, "vit_l": build_vit_l,
                 "vit_h": build_vit_h}
-    enc = builders[encoder](dtype=jnp.bfloat16)
+    kw = {}
+    if tp:
+        from labelanything_tpu.parallel.mesh import create_mesh
+        n = len(jax.devices())
+        tp_size = 2 if n % 2 == 0 and n > 1 else 1
+        kw["tp_mesh"] = create_mesh(data=n // tp_size, model=tp_size)
+    enc = builders[encoder](dtype=jnp.bfloat16, **kw)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch_size, image_size, image_size, 3)),
                     jnp.bfloat16)
@@ -126,9 +143,11 @@ def bench_vit(batch_size=8, image_size=1024, steps=8, reps=3,
         "unit": "images/sec",
         "spread": round(spread, 3),
     }
+    if tp:
+        result["metric"] += " [tp-mode attention]"
     peak = _peak_tflops()
-    if peak and encoder == "vit_b":
-        achieved = _vit_b_flops_per_image(image_size) * batch_size / sec / 1e12
+    if peak:
+        achieved = _vit_flops_per_image(image_size, encoder) * batch_size / sec / 1e12
         result["mfu"] = round(achieved / peak, 3)
         result["device_kind"] = jax.devices()[0].device_kind
     return result

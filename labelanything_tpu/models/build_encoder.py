@@ -27,9 +27,11 @@ PROMPT_EMBED_DIM = 256
 
 def _build_vit(config_name: str, project_last_hidden: bool = True,
                image_size: int = SAM_IMAGE_SIZE, dtype=None, remat: bool = False,
-               **kwargs) -> ImageEncoderViT:
+               tp_mesh=None, **kwargs) -> ImageEncoderViT:
     cfg = vit_configs[config_name]
     extra = {} if dtype is None else {"dtype": dtype}
+    if tp_mesh is not None:
+        extra["tp_mesh"] = tp_mesh
     return ImageEncoderViT(
         img_size=image_size,
         patch_size=SAM_PATCH_SIZE,

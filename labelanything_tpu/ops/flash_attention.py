@@ -483,6 +483,165 @@ def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     )(qkv, qkv, qkv, r, e)
 
 
+def _relpos_lanes_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *,
+                         scale: float, rh_width: int, block_k: int):
+    """Head-PAIR grid step on token-major operands (see
+    flash_attention_relpos_lanes): q/k/v refs are 128-lane BlockSpec views
+    into the natural (B, N, 3C) qkv projection — the pair's two dh=64 head
+    slices share one lane tile, so reading them costs ZERO relayout in HBM
+    (the packed kernel needs a full (B, N, 36, 64) -> (B, 36, N, 64)
+    transpose of the activation stream; this kernel needs none, and the
+    output is written token-major so the downstream projection consumes it
+    directly)."""
+    dh = q_ref.shape[-1] // 2
+    rr = e_ref.shape[0]
+    q2 = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)    # (BQ, 2*dh)
+    k2 = k_ref[0].astype(jnp.float32)                       # (K, 2*dh)
+    v2 = v_ref[0]                                           # (K, 2*dh)
+    r2 = r_ref[0].astype(jnp.float32)                       # (BQ, 2*rr)
+    e = e_ref[...].astype(jnp.float32)                      # (rr, K)
+
+    k_len = k2.shape[0]
+    outs = []
+    for t in (0, 1):
+        q = q2[:, t * dh:(t + 1) * dh]
+        k = k2[:, t * dh:(t + 1) * dh]
+        v = _augment_v(v2[:, t * dh:(t + 1) * dh])
+        r = r2[:, t * rr:(t + 1) * rr]
+        m = _shift_bound(q, k, r, rh_width)
+        o = jnp.zeros((q.shape[0], dh + 1), jnp.float32)
+        for kb in range(0, k_len, block_k):
+            s = jax.lax.dot_general(
+                q, k[kb:kb + block_k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + jax.lax.dot_general(
+                r, e[:, kb:kb + block_k], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp2(s - m).astype(v.dtype)
+            o = o + jax.lax.dot_general(
+                p, v[kb:kb + block_k], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        outs.append(_finish(o, dh, o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)               # (BQ, 2*dh)
+
+
+def lanes_kernel_ok(heads: int, dh: int, kh: int, kw: int) -> bool:
+    """Layout preconditions of the lane-sliced kernel: head pairs must span
+    exactly one 128-lane tile (dh == 64, heads even) and the per-pair bias
+    block 2*(kh+kw) must tile (rr % 64 == 0). SAM ViT-B/L qualify; ViT-H
+    (dh = 80) falls back to the packed kernel."""
+    return dh == 64 and heads % 2 == 0 and (kh + kw) % 64 == 0
+
+
+def _lanes_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
+                    grid_hw: Tuple[int, int], heads: int) -> jax.Array:
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    kh, kw = grid_hw
+    rr = kh + kw
+    assert lanes_kernel_ok(heads, dh, kh, kw)
+    e = _onehot_expand(kh, kw, qkv.dtype)
+
+    block_q = _pick_block_q(n)
+    assert n % block_q == 0, (n, block_q)
+    block_k = _BLOCK_K if n % _BLOCK_K == 0 else n
+    grid = (b, heads // 2, n // block_q)
+
+    return pl.pallas_call(
+        functools.partial(_relpos_lanes_kernel, scale=scale, rh_width=kh,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            # lane-block index maps: pair hp reads lanes [hp*128, hp*128+128)
+            # of the q / k / v regions of the SAME (B, N, 3C) array
+            pl.BlockSpec((1, block_q, 2 * dh),
+                         lambda i, hp, j: (i, j, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 2 * dh),
+                         lambda i, hp, j, _h=heads // 2: (i, 0, _h + hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 2 * dh),
+                         lambda i, hp, j, _h=heads // 2: (i, 0, 2 * _h + hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 2 * rr),
+                         lambda i, hp, j: (i, j, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rr, n), lambda i, hp, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 2 * dh),
+                               lambda i, hp, j: (i, j, hp),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * n * dh + 2 * b * heads * n * rr * n,
+            bytes_accessed=(qkv.size + r.size + b * n * c)
+            * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(qkv, qkv, qkv, r, e)
+
+
+def _lanes_xla_ref(qkv, r, scale, grid_hw, heads):
+    """XLA recompute of the lane-layout kernel (backward + CPU fallback)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    kh, kw = grid_hw
+    rr = kh + kw
+    q = qkv[..., :c].reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    k = qkv[..., c:2 * c].reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    v = qkv[..., 2 * c:].reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    rb = r.reshape(b, n, heads, rr).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    bias = rb.astype(jnp.float32) / _LOG2E
+    bias = (bias[..., :kh, None] + bias[..., None, kh:]).reshape(
+        s.shape[:3] + (kh * kw,))
+    p = jax.nn.softmax(s + bias, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def flash_attention_relpos_lanes(qkv, r, scale: float,
+                                 grid_hw: Tuple[int, int], heads: int):
+    """Fused rel-pos attention on the NATURAL token-major qkv projection.
+
+    Args:
+      qkv: (B, N, 3C) — the qkv Dense output reshaped only (no transpose);
+        channel layout (3, heads, dh) flattened.
+      r: (B, N, heads*(Kh+Kw)) factored rel-pos bias, lane-major per head,
+        already multiplied by log2(e).
+      scale, grid_hw, heads: as in flash_attention_relpos_packed.
+
+    Returns (B, N, C) token-major — feeds the output projection directly.
+
+    vs the packed kernel: identical math and softmax engineering, but both
+    the input relayout (qkv -> slot-major) and the output head-major ->
+    token-major transpose vanish into BlockSpec lane index maps. Only legal
+    when a head pair spans one lane tile (lanes_kernel_ok)."""
+    return _lanes_fwd_impl(qkv, r, scale, grid_hw, heads)
+
+
+def _lanes_fwd(qkv, r, scale, grid_hw, heads):
+    return _lanes_fwd_impl(qkv, r, scale, grid_hw, heads), (qkv, r)
+
+
+def _lanes_bwd(scale, grid_hw, heads, res, g):
+    qkv, r = res
+    _, vjp = jax.vjp(
+        lambda a, b: _lanes_xla_ref(a, b, scale, grid_hw, heads), qkv, r)
+    return vjp(g)
+
+
+flash_attention_relpos_lanes.defvjp(_lanes_fwd, _lanes_bwd)
+
+
 def _packed_xla_ref(qkv, r, scale, grid_hw, heads):
     """XLA recompute of the packed kernel (backward + CPU fallback)."""
     kh, kw = grid_hw

@@ -15,18 +15,17 @@ locally, and the row-parallel matmul produces partial sums that XLA reduces
 with an all-reduce it inserts from sharding propagation — no explicit
 collectives here.
 
-Attention projections stay replicated deliberately: the fused ``qkv``
-kernel's output layout is (3, heads, head_dim)-merged for torch-checkpoint
-compatibility, and a model-axis tile of that dim does not align with the
-3-boundary, so GSPMD would insert regathers instead of a clean per-head
-split. Norms, embeddings, rel-pos tables, and the small per-head
-prompt/decoder attention projections are replicated as well.
-
-The Pallas attention kernels are not GSPMD-partitionable; encoders built
-for tensor-parallel execution must set ``use_kernel=False`` (a real
-``ImageEncoderViT``/``ViTBlock``/``ViTAttention`` attribute, threaded to
-the attention dispatch) so attention runs through the XLA path — see
-``__graft_entry__._dryrun_tp`` for the wiring.
+ViT attention is head-sharded separately via shard_map (pass ``tp_mesh``
+to the encoder — ViTAttention._tp_attention): the stored qkv kernel keeps
+its (3, heads, head_dim)-merged torch-checkpoint layout and is reordered
+head-major inside the traced step (GSPMD lowers the reorder to a local
+slice of the replicated source), each device runs the fused Pallas
+attention kernel on its heads, and the output projection is row-parallel
+with one psum. So the STORED attention weights stay replicated here (this
+module only assigns specs to stored leaves), while attention compute and
+activations are fully model-sharded. Norms, embeddings, rel-pos tables,
+and the small per-head prompt/decoder attention projections remain
+replicated.
 """
 
 from __future__ import annotations

@@ -24,6 +24,83 @@ def _flatten_image(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * w, d)
 
 
+class _DenseP(nn.Module):
+    """Dense-compatible parameters ({kernel, bias}, identical names and
+    initializers) WITHOUT applying the layer — the fused TwoWay kernel
+    (ops/fused_twoway.py) consumes the raw arrays while the parameter tree
+    stays byte-compatible with the unfused nn.Dense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _LNP(nn.Module):
+    """LayerNorm-compatible parameters ({scale, bias})."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        return (self.param("scale", nn.initializers.ones, (dim,)),
+                self.param("bias", nn.initializers.zeros, (dim,)))
+
+
+class _AttnP(nn.Module):
+    """Attention-compatible parameter subtree (q/k/v/out projections)."""
+
+    embedding_dim: int
+    downsample_rate: int = 1
+
+    @nn.compact
+    def __call__(self):
+        internal = self.embedding_dim // self.downsample_rate
+        return (*_DenseP(internal, name="q_proj")(self.embedding_dim),
+                *_DenseP(internal, name="k_proj")(self.embedding_dim),
+                *_DenseP(internal, name="v_proj")(self.embedding_dim),
+                *_DenseP(self.embedding_dim, name="out_proj")(internal))
+
+
+class _MLPP(nn.Module):
+    """MLPBlock-compatible parameter subtree (lin1/lin2)."""
+
+    embedding_dim: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (*_DenseP(self.mlp_dim, name="lin1")(self.embedding_dim),
+                *_DenseP(self.embedding_dim, name="lin2")(self.mlp_dim))
+
+
+class _TwoWayLayerP(nn.Module):
+    """TwoWayAttentionBlock-compatible parameter subtree, emitted in the
+    exact order ops/fused_twoway._twoway_math consumes."""
+
+    embedding_dim: int
+    mlp_dim: int
+    attention_downsample_rate: int
+
+    @nn.compact
+    def __call__(self):
+        d = self.embedding_dim
+        return (
+            *_AttnP(d, 1, name="self_attn")(),
+            *_LNP(name="norm1")(d),
+            *_AttnP(d, self.attention_downsample_rate,
+                    name="cross_attn_token_to_image")(),
+            *_LNP(name="norm2")(d),
+            *_MLPP(d, self.mlp_dim, name="mlp")(),
+            *_LNP(name="norm3")(d),
+            *_AttnP(d, self.attention_downsample_rate,
+                    name="cross_attn_image_to_token")(),
+            *_LNP(name="norm4")(d),
+        )
+
+
 class IdentityTransformer(nn.Module):
     """Pass-through fusion (reference: transformer.py:17-23)."""
 
@@ -186,9 +263,36 @@ class TwoWayTransformer(nn.Module):
         *,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
+        from ..ops.attention import _on_tpu
+        from ..ops import fused_twoway as _ft
+
         keys = _flatten_image(image_embedding)
-        image_pe = _flatten_image(jnp.broadcast_to(image_pe, image_embedding.shape))
         queries = point_embedding
+
+        # fused whole-transformer kernel (ops/fused_twoway.py): legal when
+        # nothing is masked or dropped and the positional source is shared
+        # across instances (the prompt encoder's (1, h, w, D) pos grid)
+        fused = (_ft._ENABLE and (_on_tpu() or _ft._INTERPRET)
+                 and query_mask is None and self.dropout == 0.0
+                 and image_pe.shape[0] == 1)
+        if fused:
+            params = []
+            for i in range(self.depth):
+                params.extend(_TwoWayLayerP(
+                    self.embedding_dim, self.mlp_dim,
+                    self.attention_downsample_rate,
+                    name=f"layers_{i}")())
+            params.extend(_AttnP(
+                self.embedding_dim, self.attention_downsample_rate,
+                name="final_attn_token_to_image")())
+            params.extend(_LNP(name="norm_final_attn")(self.embedding_dim))
+            key_pe = _flatten_image(image_pe)[0].astype(self.dtype)
+            return _ft.fused_twoway_transformer(
+                keys.astype(self.dtype), queries.astype(self.dtype),
+                key_pe, tuple(params), self.depth, self.num_heads,
+                self.activation)
+
+        image_pe = _flatten_image(jnp.broadcast_to(image_pe, image_embedding.shape))
 
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(

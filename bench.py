@@ -19,7 +19,8 @@ BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["vit", "decode", "train"], default="vit")
+    ap.add_argument("--mode", choices=["vit", "decode", "train", "pipeline"],
+                    default="vit")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--reps", type=int, default=3)
@@ -30,13 +31,22 @@ def main():
                          "(pure device throughput, no per-step dispatch)")
     ap.add_argument("--tp", action="store_true",
                     help="vit mode: head-sharded shard_map attention path")
+    ap.add_argument("--images-path", action="store_true",
+                    help="train mode: alias for --mode pipeline (host loader"
+                         " -> device step, reports device_busy/loader_wait)")
+    ap.add_argument("--workers", type=int, default=None,
+                    help="pipeline mode: host loader workers")
+    ap.add_argument("--thread-loader", action="store_true",
+                    help="pipeline mode: thread loader instead of processes")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
-    from labelanything_tpu.benchmarks import (bench_decode, bench_train,
-                                              bench_vit)
+    from labelanything_tpu.benchmarks import (bench_decode, bench_pipeline,
+                                              bench_train, bench_vit)
 
-    kw = {"reps": args.reps}
+    if args.images_path and args.mode == "train":
+        args.mode = "pipeline"
+    kw = {} if args.mode == "pipeline" else {"reps": args.reps}
     if args.batch:
         kw["batch_size"] = args.batch
     if args.steps:
@@ -47,7 +57,13 @@ def main():
         kw["tp"] = True
     if args.device_loop and args.mode == "decode":
         kw["device_loop"] = True
-    fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train}
+    if args.mode == "pipeline":
+        if args.workers:
+            kw["num_workers"] = args.workers
+        if args.thread_loader:
+            kw["use_processes"] = False
+    fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train,
+           "pipeline": bench_pipeline}
     result = fns[args.mode](**kw)
 
     baselines = {}

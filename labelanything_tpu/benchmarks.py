@@ -47,6 +47,27 @@ def _peak_tflops() -> float | None:
     return None
 
 
+def _compiled_flops(jitted, *args) -> float | None:
+    """FLOPs of one call of ``jitted(*args)`` from XLA's compiled cost
+    analysis (exact for matmul-dominated graphs; the vit mode cross-checks
+    it against the hand-derived count to within a few %). Compiling here
+    warms jax's jit cache, so the subsequent timed calls do not re-trace."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _attach_mfu(result: dict, flops_per_call, sec: float) -> dict:
+    peak = _peak_tflops()
+    if peak and flops_per_call:
+        result["mfu"] = round(flops_per_call / sec / 1e12 / peak, 3)
+        result["device_kind"] = jax.devices()[0].device_kind
+    return result
+
+
 def _timed_chain(chained, params, x, steps: int, reps: int):
     """Time ``steps`` chained dispatches of ``chained(params, x, carry)``,
     ``reps`` times; return (median sec/step, spread fraction).
@@ -185,6 +206,8 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
         logits = out[ResultDict.LOGITS]
         return carry + jnp.sum(jnp.where(jnp.isfinite(logits), logits, 0.0))
 
+    step_flops = _compiled_flops(jax.jit(one_step), params, batch,
+                                 jnp.float32(0))
     if device_loop:
         @jax.jit
         def run_all(params, batch, carry):
@@ -199,13 +222,13 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
         sec, spread = _timed_chain(jax.jit(one_step), params, batch, steps,
                                    reps)
         suffix = ""
-    return {
+    return _attach_mfu({
         "metric": (f"episodes/sec ({ways}-way {shots}-shot decode, "
                    f"{image_size}px, bf16{suffix})"),
         "value": round(batch_size / sec, 2),
         "unit": "episodes/sec",
         "spread": round(spread, 3),
-    }
+    }, step_flops, sec)
 
 
 def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
@@ -257,6 +280,8 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
         return train_step(state, batch, gt, jax.random.key(0), 1.0,
                           apply_update=True)
 
+    step_flops = _compiled_flops(train_step, state, batch, gt,
+                                 jax.random.key(0), 1.0, apply_update=True)
     # warmup: compile + 2 steps
     for i in range(2):
         state, aux = run(state, i)
@@ -271,12 +296,191 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
     spread = (max(times) - min(times)) / med if med else 0.0
-    return {
+    return _attach_mfu({
         "metric": (f"train episodes/sec ({ways}-way {shots}-shot, "
                    f"{image_size}px, bf16, fwd+bwd+AdamW)"),
         "value": round(batch_size * steps / med, 2),
         "unit": "episodes/sec",
         "spread": round(spread, 3),
+    }, step_flops, med / steps)
+
+
+def _write_synthetic_coco(root, n_images: int, image_size: int,
+                          n_categories: int = 4, seed: int = 0) -> None:
+    """Synthetic on-disk COCO (images + instances.json) for the images-path
+    pipeline bench: real JPEG decode, resize, normalization, prompt
+    tensorization — the host work the thread loader could not parallelize."""
+    import json
+
+    from PIL import Image
+
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "images").mkdir(exist_ok=True)
+    rng = np.random.default_rng(seed)
+    images, annotations, ann_id = [], [], 1
+    for i in range(1, n_images + 1):
+        h = int(image_size * (0.8 + 0.4 * rng.random()))
+        w = int(image_size * (0.8 + 0.4 * rng.random()))
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(
+            root / "images" / f"{i}.jpg")
+        images.append({"id": i, "file_name": f"{i}.jpg",
+                       "height": h, "width": w})
+        for cat in range(1, n_categories + 1):
+            x0 = int(rng.integers(0, w // 2))
+            y0 = int(rng.integers(0, h // 2))
+            bw = int(rng.integers(w // 8, w // 3))
+            bh = int(rng.integers(h // 8, h // 3))
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": cat,
+                "segmentation": [[x0, y0, x0 + bw, y0, x0 + bw, y0 + bh,
+                                  x0, y0 + bh]],
+                "bbox": [x0, y0, bw, bh], "area": bw * bh, "iscrowd": 0,
+            })
+            ann_id += 1
+    inst = {"images": images, "annotations": annotations,
+            "categories": [{"id": c, "name": f"cat{c}"}
+                           for c in range(1, n_categories + 1)]}
+    (root / "instances.json").write_text(json.dumps(inst))
+
+
+def bench_pipeline(batch_size=8, ways=2, shots=1, image_size=480, steps=8,
+                   num_workers=4, use_processes=True, n_images=48,
+                   root=None):
+    """Images-path end-to-end training bench (the mae_noembs configuration:
+    no precomputed embeddings, the ViT encoder runs in the train step —
+    reference: parameters/trainval/coco20i/mae_noembs.yaml).
+
+    Host pipeline: synthetic on-disk COCO -> EpisodeLoader (process workers
+    by default, like dataloader.use_processes) -> Substitutor -> device
+    train step (fwd + focal + bwd + AdamW on lam_mae_b). Reports
+    episodes/sec plus the two utilization figures that decide whether a
+    real pod run is host-bound: ``device_busy`` (fraction of wall time the
+    chip is executing steps) and ``loader_wait`` (fraction spent blocked on
+    the host loader). On this 1-core dev box loader_wait dominates by
+    construction; on a pod host the same numbers localize the bottleneck.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from labelanything_tpu.data.dataset import (LabelAnythingDataset,
+                                                VariableBatchSampler)
+    from labelanything_tpu.data.loader import EpisodeLoader
+    from labelanything_tpu.experiment.run import (_HOST_KEYS,
+                                                  drop_absent_modalities,
+                                                  with_all_modalities)
+    from labelanything_tpu.models.build_lam import build_lam_vit_mae_b
+    from labelanything_tpu.parallel.train_step import (init_train_state,
+                                                       make_train_step)
+    from labelanything_tpu.train.losses import LabelAnythingLoss
+    from labelanything_tpu.train.optim import build_optimizer
+    from labelanything_tpu.train.substitutor import Substitutor
+    from labelanything_tpu.typing import BatchKeys, ResultDict
+
+    tmp = None
+    if root is None:
+        tmp = tempfile.TemporaryDirectory(prefix="labench_coco_")
+        root = Path(tmp.name)
+    else:
+        root = Path(root)
+    if not (root / "instances.json").exists():
+        _write_synthetic_coco(root, n_images, image_size)
+
+    dataset = LabelAnythingDataset(
+        {"coco": {"instances_path": str(root / "instances.json"),
+                  "img_dir": str(root / "images")}},
+        {"image_size": image_size, "seed": 0, "load_gts": False,
+         "custom_preprocess": False, "do_subsample": False,
+         "add_box_noise": True},
+    )
+    sampler = VariableBatchSampler(
+        dataset,
+        possible_batch_example_nums=[[batch_size, shots, ways]],
+        prompt_types=["point", "bbox", "mask"],
+        shuffle=True, num_steps=steps + 2, seed=0,
+    )
+    loader = EpisodeLoader(dataset, sampler, num_workers,
+                           use_processes=use_processes, seed=0)
+
+    c = ways + 1
+    model = build_lam_vit_mae_b(
+        image_embed_dim=768, embed_dim=256, image_size=image_size,
+        spatial_convs=3, class_encoder={"name": "RandomMatrixEncoder",
+                                        "bank_size": 100},
+        dtype=jnp.bfloat16,
+    )
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}},
+                             class_weighting=True)
+    sub = Substitutor(num_points=1, substitute=False)
+
+    def to_device(raw):
+        batch = drop_absent_modalities(raw)
+        return {k: jax.tree.map(jnp.asarray, v) for k, v in batch.items()
+                if k not in _HOST_KEYS and v is not None}
+
+    state = None
+    train_step = None
+    n_steps = 0
+    t_wait = t_dev = 0.0
+    t_start = time.perf_counter()
+    it = iter(loader)
+    try:
+        while n_steps < steps:
+            t0 = time.perf_counter()
+            try:
+                raw = next(it)
+            except StopIteration:
+                it = iter(loader)
+                continue
+            t_wait += time.perf_counter() - t0
+            (data, _gts), _names = raw
+            sub.reset(to_device(data))
+            batch, gt = next(sub)
+            if state is None:
+                params = {
+                    "model": jax.jit(model.init)(
+                        jax.random.key(0), with_all_modalities(batch)),
+                    "loss": loss.init(jax.random.key(1), {
+                        ResultDict.LOGITS: jnp.zeros(
+                            (batch_size, c, image_size, image_size)),
+                        ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros(
+                            (batch_size, shots, c, 256)),
+                        BatchKeys.FLAG_EXAMPLES:
+                            batch[BatchKeys.FLAG_EXAMPLES],
+                    }, gt),
+                }
+                tx = build_optimizer(params, name="AdamW",
+                                     learning_rate=5e-5)
+                state = init_train_state(params, tx)
+                train_step = make_train_step(model, loss, tx)
+                # compile outside the timed region (a real run compiles once)
+                state, aux = train_step(state, batch, gt, jax.random.key(1),
+                                        1.0, apply_update=True)
+                assert np.isfinite(float(aux["loss"]))
+                t_start = time.perf_counter()
+                t_wait = 0.0
+                continue
+            t0 = time.perf_counter()
+            state, aux = train_step(state, batch, gt, jax.random.key(n_steps),
+                                    1.0, apply_update=True)
+            ok = np.isfinite(float(aux["loss"]))  # per-step sync
+            t_dev += time.perf_counter() - t0
+            assert ok, "non-finite loss in pipeline bench"
+            n_steps += 1
+    finally:
+        loader.close()
+        if tmp is not None:
+            tmp.cleanup()
+
+    total = time.perf_counter() - t_start
+    mode = "process" if use_processes else "thread"
+    return {
+        "metric": (f"train episodes/sec (images path, {ways}-way {shots}-shot"
+                   f" {image_size}px, lam_mae_b bf16, {mode} loader x"
+                   f"{num_workers})"),
+        "value": round(batch_size * n_steps / total, 2),
+        "unit": "episodes/sec",
+        "device_busy": round(t_dev / total, 3),
+        "loader_wait": round(t_wait / total, 3),
     }
 
 

@@ -17,8 +17,36 @@ def main():
 @main.command("experiment")
 @click.option("--parameters", required=True, type=click.Path(exists=True))
 @click.option("--out-dir", default="runs")
-def experiment_cmd(parameters, out_dir):
+@click.option("--parallel", is_flag=True,
+              help="fan the grid out as parallel jobs instead of running "
+                   "sequentially (reference: ParallelRun sbatch fan-out)")
+@click.option("--only-create", is_flag=True,
+              help="with --parallel: render per-run YAMLs + commands.sh "
+                   "without launching")
+@click.option("--max-parallel", default=2, type=int)
+@click.option("--backend", default="local",
+              type=click.Choice(["local", "tpu-pod"]))
+@click.option("--tpu-names", default=None,
+              help="tpu-pod backend: comma-separated TPU VM names")
+@click.option("--zone", default="us-central2-b")
+def experiment_cmd(parameters, out_dir, parallel, only_create, max_parallel,
+                   backend, tpu_names, zone):
     """Run a grid of training runs from a YAML parameter file."""
+    if parallel:
+        from .experiment.parallel import (LocalProcessBackend,
+                                          ParallelExperimenter, TpuPodBackend)
+        from .utils.config import load_yaml
+
+        if backend == "tpu-pod":
+            be = TpuPodBackend((tpu_names or "").split(","), zone=zone)
+        else:
+            be = LocalProcessBackend()
+        exp = ParallelExperimenter(load_yaml(parameters), out_dir=out_dir,
+                                   backend=be, max_parallel=max_parallel)
+        for job in exp.launch(only_create=only_create):
+            click.echo(f"run{job['index']}: "
+                       f"{job.get('returncode', 'created')}")
+        return
     from .experiment import experiment
 
     experiment(parameters, out_dir=out_dir)
@@ -206,7 +234,7 @@ def rename_coco20i_json_cmd(instances_path):
 
 @main.command("benchmark")
 @click.option("--mode", default="decode",
-              type=click.Choice(["decode", "vit", "train"]))
+              type=click.Choice(["decode", "vit", "train", "pipeline"]))
 @click.option("--batch", default=None, type=int)
 @click.option("--steps", default=None, type=int)
 @click.option("--reps", default=3, type=int)
@@ -218,14 +246,16 @@ def benchmark_cmd(mode, batch, steps, reps):
     labelanything_tpu.benchmarks."""
     import json as _json
 
-    from .benchmarks import bench_decode, bench_train, bench_vit
+    from .benchmarks import (bench_decode, bench_pipeline, bench_train,
+                             bench_vit)
 
-    kw = {"reps": reps}
+    kw = {} if mode == "pipeline" else {"reps": reps}
     if batch:
         kw["batch_size"] = batch
     if steps:
         kw["steps"] = steps
-    fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train}
+    fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train,
+           "pipeline": bench_pipeline}
     result = fns[mode](**kw)
     print(_json.dumps(result))
 

@@ -8,11 +8,12 @@ padded class logits are set to ``-inf`` at the end, which is what the
 reference's scatter-into-``-inf`` produces for the valid outputs too.
 
 ``prototype_merge`` ("PrototypeAffinity", reference: mask_decoder.py:511-555)
-is not implemented: the reference code path rearranges the (B, C, 64)
-prototype tensor as ``"b d (c heads)"`` with ``heads=8`` while the affinity
-tensor uses ``heads=32`` over a (B·C, 32, h, w) map, so the following matmul
-has inconsistent batch/contraction dims for general (B, C); it cannot execute
-in the reference either and is treated as dead code.
+is implemented *as intended*, not as written: the reference code path cannot
+execute (it rearranges the (B, C, 64) prototype tensor as ``"b d (c heads)"``
+with ``heads=8`` while the affinity tensor uses ``heads=32``, and the merge
+branch returns an unbound variable — reproduced by tests/test_variants.py::
+test_reference_prototype_affinity_is_broken). See ``_prototype_merge`` for
+the itemized reconstruction.
 """
 
 from __future__ import annotations
@@ -43,14 +44,6 @@ class AffinityDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        if self.prototype_merge:
-            raise NotImplementedError(
-                "PrototypeAffinity is broken in the reference: the merge "
-                "branch returns an unbound variable and its head split is "
-                "internally inconsistent (mask_decoder.py:511-555, 630-648) "
-                "— reproduced by tests/test_variants.py::"
-                "test_reference_prototype_affinity_is_broken."
-            )
         td = self.transformer_dim
         ds = self.classification_layer_downsample_rate
         depths = (td // (ds // 4), td // (ds // 2), td // ds)
@@ -64,6 +57,34 @@ class AffinityDecoder(nn.Module):
             for i, d in enumerate(depths)
         ]
         self.out_conv = nn.Conv(1, (1, 1), dtype=self.dtype, name="out_conv")
+        if self.prototype_merge:
+            # Faithful-as-intended PrototypeAffinity (reference:
+            # mask_decoder.py:443-458, 511-555). The reference path cannot
+            # execute (see module docstring + tests/test_variants.py::
+            # test_reference_prototype_affinity_is_broken); deviations that
+            # make it well-formed are documented inline in
+            # ``_prototype_merge``.
+            from .common import AttentionMLPBlock
+
+            third_depth = td // ds
+            self.proto_heads = 8  # the prototype-side split the ref declares
+            assert third_depth % self.proto_heads == 0, (
+                "transformer_dim/downsample_rate must be divisible by the "
+                "8-way prototype head split")
+            self.attn_token_to_image = AttentionMLPBlock(
+                embed_dim=td, downsample_rate=1, mlp_dim=2048, num_heads=8,
+                act=self.activation, dtype=self.dtype,
+                name="attn_token_to_image")
+            # ref: MLP(td, td, second_layer_depth, 3); the correlation
+            # below needs the *affinity* channel count (third_depth) — one
+            # of the reference's shape inconsistencies resolved here.
+            from .mask_decoder import MLP
+
+            self.class_embedding_mlp = MLP(
+                hidden_dim=td, output_dim=third_depth, num_layers=3,
+                dtype=self.dtype, name="class_embedding_mlp")
+            self.proto_ln = LayerNorm2d(self.proto_heads, dtype=self.dtype,
+                                        name="proto_ln")
         if self.spatial_convs is not None:
             self.spatial_conv_layers = [
                 nn.Conv(td, (3, 3), padding="SAME", dtype=self.dtype,
@@ -152,13 +173,92 @@ class AffinityDecoder(nn.Module):
                 if i < self.spatial_convs - 1:
                     q = self.activation(self.spatial_conv_norms[i](q))
 
-        for conv, ln in zip(self.up_convs, self.up_lns):
-            q = self.activation(ln(conv(q)))
-        logits = self.out_conv(q)  # (B*C, h8, w8, 1)
-        h8, w8 = logits.shape[1:3]
-        logits = logits.reshape(b, c, h8, w8)
-
         # classes with no flagged example anywhere -> -inf (dense equivalent
         # of the reference's batch_mask scatter, mask_decoder.py:607-620)
         class_valid = flag_examples.any(axis=1)  # (B, C)
+
+        if self.prototype_merge:
+            logits = self._prototype_merge(
+                q, pe_result[ResultDict.CLASS_EMBS], image_pe, class_valid,
+                deterministic=deterministic)
+        else:
+            for conv, ln in zip(self.up_convs, self.up_lns):
+                q = self.activation(ln(conv(q)))
+            logits = self.out_conv(q)  # (B*C, h8, w8, 1)
+            h8, w8 = logits.shape[1:3]
+            logits = logits.reshape(b, c, h8, w8)
+
         return jnp.where(class_valid[:, :, None, None], logits, _NEG_INF)
+
+    def _prototype_merge(self, q: jax.Array, prototypes: jax.Array,
+                         image_pe: jax.Array, class_valid: jax.Array,
+                         *, deterministic: bool = True) -> jax.Array:
+        """Faithful-as-intended PrototypeAffinity merge (reference:
+        mask_decoder.py:511-555 ``prototype_transformer``).
+
+        The reference branch is dead code — it NameErrors on return and its
+        head split is internally inconsistent — so this implements what the
+        code was evidently *for*: class prototypes attend to the class-max
+        affinity map, are projected to the upscaled-affinity channel space,
+        and a per-head prototype/affinity correlation map joins the affinity
+        features for the final classification conv. Deviations, each fixing
+        a reference impossibility:
+
+        * one head count (8, the prototype-side split) on both correlation
+          operands — ref used heads=8 vs heads=32 (mask_decoder.py:536-546);
+        * the prototype MLP projects to third_depth so the correlation
+          contracts over matching channels — ref projected to
+          second_layer_depth, which cannot contract against the
+          third_depth affinity map;
+        * the final 1x1 conv consumes the concatenated
+          (third_depth + heads) channels — ref fed 2x third_depth into a
+          conv built for third_depth;
+        * padded classes are flag-masked densely (no -inf scatter *into*
+          conv inputs, which NaN-poisons ConvTranspose even for valid rows);
+        * the reference also upscales ``reduce_embeddings`` alongside and
+          discards the result (mask_decoder.py:533-535) — dead compute,
+          skipped.
+
+        q: (B*C, h, w, D) post-spatial-conv affinity features;
+        prototypes: (B, C, D); image_pe: (1, h, w, D);
+        class_valid: (B, C). Returns (B, C, h8, w8) logits.
+        """
+        bc, h, w, d = q.shape
+        b, c = class_valid.shape
+        qd = q.reshape(b, c, h, w, d)
+
+        # class-max image map, padded classes excluded from the max
+        neg = jnp.finfo(qd.dtype).min
+        reduced = jnp.max(
+            jnp.where(class_valid[:, :, None, None, None], qd, neg), axis=1
+        )  # (B, h, w, D)
+
+        keys = (reduced + image_pe).reshape(b, h * w, d)
+        protos = self.attn_token_to_image(
+            prototypes, keys, keys, deterministic=deterministic)  # (B, C, D)
+        protos = self.class_embedding_mlp(
+            protos, deterministic=deterministic)  # (B, C, third_depth)
+
+        # upscale the affinity features: full blocks 0,1 then conv of block
+        # 2 (ref applies output_upscaling[:7], i.e. the third ConvTranspose
+        # without its LN+act, which lands on proto_logits and affinity in
+        # the second loop — mask_decoder.py:533-551)
+        for conv, ln in zip(self.up_convs[:2], self.up_lns[:2]):
+            q = self.activation(ln(conv(q)))
+        q = self.up_convs[2](q)  # (B*C, h8, w8, third_depth)
+        h8, w8 = q.shape[1:3]
+        td3 = q.shape[-1]
+        heads = self.proto_heads
+        dh = td3 // heads
+
+        # per-head prototype/affinity correlation
+        aff = q.reshape(b, c, h8, w8, heads, dh)
+        pr = protos.reshape(b, c, heads, dh)
+        proto_logits = jnp.einsum("bcxyhd,bchd->bcxyh", aff, pr)
+        proto_logits = proto_logits.reshape(bc, h8, w8, heads)
+
+        q = self.activation(self.up_lns[2](q))
+        proto_logits = self.activation(self.proto_ln(proto_logits))
+        feats = jnp.concatenate([q, proto_logits], axis=-1)
+        logits = self.out_conv(feats)  # (B*C, h8, w8, 1)
+        return logits.reshape(b, c, h8, w8)

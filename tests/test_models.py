@@ -118,6 +118,23 @@ def test_affinity_decoder():
     assert out[ResultDict.LOGITS].shape == (2, 3, IMAGE_SIZE, IMAGE_SIZE)
 
 
+def test_prototype_affinity_decoder():
+    """few_type="PrototypeAffinity", implemented as intended (the reference
+    branch is dead code — see tests/test_variants.py::
+    test_reference_prototype_affinity_is_broken). embed_dim=64 so the
+    affinity channel count (embed_dim/8) splits into the 8 prototype heads."""
+    batch = tiny_batch(embed_dim=64)
+    model = tiny_model(
+        few_type="PrototypeAffinity", image_embed_dim=64, embed_dim=64
+    )
+    params = model.init(jax.random.key(0), batch)
+    out = model.apply(params, batch)
+    logits = np.asarray(out[ResultDict.LOGITS])
+    assert logits.shape == (2, 3, IMAGE_SIZE, IMAGE_SIZE)
+    assert not np.isnan(logits).any()
+    assert np.isfinite(logits).any()
+
+
 def test_dummy_model():
     batch = tiny_batch()
     model = model_registry["dummy"](image_size=IMAGE_SIZE)

@@ -190,9 +190,10 @@ def test_sam_fewshot_composition():
 
 
 def test_reference_prototype_affinity_is_broken():
-    """Auditable record of why AffinityDecoder(prototype_merge=True) raises
-    NotImplementedError here instead of porting the reference merge
-    (reference: models/mask_decoder.py:511-555, 630-648):
+    """Auditable record of why AffinityDecoder(prototype_merge=True) is
+    implemented *as intended* rather than as a port of the reference merge
+    (reference: models/mask_decoder.py:511-555, 630-648 — the forward path
+    here lives in tests/test_models.py::test_prototype_affinity_decoder):
 
     1. The prototype branch assigns ``proto_logits`` but the function returns
        ``logits``, which is only bound in the else-branch -> NameError.

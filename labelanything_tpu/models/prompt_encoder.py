@@ -107,7 +107,10 @@ class RandomMatrixEncoder(nn.Module):
             rows = jnp.concatenate([jnp.zeros((1,), dtype=fg_rows.dtype), fg_rows])
         else:
             rows = jnp.arange(c)
-        class_encoding = bank[rows]  # (C, D)
+        # cast the fp32 bank to the embeddings' dtype BEFORE adding: a raw
+        # add would promote the whole (B, M, C, H, W, D) dense array to fp32
+        # (doubling its HBM footprint through the fusion transformer)
+        class_encoding = bank[rows].astype(dense_embeddings.dtype)  # (C, D)
         sparse_embeddings = sparse_embeddings + class_encoding[None, None, :, None, :]
         dense_embeddings = (
             dense_embeddings + class_encoding[None, None, :, None, None, :]

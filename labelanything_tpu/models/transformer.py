@@ -265,16 +265,41 @@ class TwoWayTransformer(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         from ..ops.attention import _on_tpu
         from ..ops import fused_twoway as _ft
+        from ..ops import twoway_blockdiag as _bd
 
         keys = _flatten_image(image_embedding)
         queries = point_embedding
 
-        # fused whole-transformer kernel (ops/fused_twoway.py): legal when
-        # nothing is masked or dropped and the positional source is shared
-        # across instances (the prompt encoder's (1, h, w, D) pos grid)
-        fused = (_ft._ENABLE and (_on_tpu() or _ft._INTERPRET)
+        # layout-optimal blockdiag path (ops/twoway_blockdiag.py): legal when
+        # attention is effectively unmasked (query_mask absent, or present but
+        # a no-op because apply_masks=False — the reference-parity default),
+        # dropout is off, and the positional source is shared across instances
+        blockdiag = (_bd._ENABLE and (_on_tpu() or _bd._FORCE)
+                     and (query_mask is None or not self.apply_masks)
+                     and self.dropout == 0.0
+                     and image_pe.shape[0] == 1)
+        # fused whole-transformer kernel (ops/fused_twoway.py): measured
+        # negative result, disabled; kept runnable for tests/the record
+        fused = (not blockdiag
+                 and _ft._ENABLE and (_on_tpu() or _ft._INTERPRET)
                  and query_mask is None and self.dropout == 0.0
                  and image_pe.shape[0] == 1)
+        if blockdiag:
+            params = []
+            for i in range(self.depth):
+                params.extend(_TwoWayLayerP(
+                    self.embedding_dim, self.mlp_dim,
+                    self.attention_downsample_rate,
+                    name=f"layers_{i}")())
+            params.extend(_AttnP(
+                self.embedding_dim, self.attention_downsample_rate,
+                name="final_attn_token_to_image")())
+            params.extend(_LNP(name="norm_final_attn")(self.embedding_dim))
+            key_pe = _flatten_image(image_pe)[0]
+            return _bd.twoway_blockdiag(
+                keys, queries, key_pe, tuple(params), self.depth,
+                self.num_heads, self.attention_downsample_rate,
+                self.activation, self.dtype)
         if fused:
             params = []
             for i in range(self.depth):

@@ -1,0 +1,227 @@
+"""Layout-optimal XLA path for the TwoWayTransformer decode hot loop.
+
+The prompt-encoder fusion and the mask decoder both run a SAM-style
+TwoWayTransformer (reference: label_anything/models/transformer.py:157-330)
+over G instances of S~900 image tokens x NT~6-10 sparse/class tokens at
+D=256 with downsample-rate-2 cross attention (internal width I=128,
+dh = I/heads = 16). The stage is HBM-bandwidth-bound; the module path's
+compiled HLO moves ~2.4 GB per call at decode shapes because of three
+layout pathologies (measured on v5e, scripts/microbench_twoway2.py):
+
+  1. split-head transposes materialize (G, H, S, dh=16) arrays whose
+     16-wide minor axis pads to the 128-lane tile -> 8x physical traffic;
+  2. image->token scores materialize (…, S, NT) with NT~6 minor -> 21x
+     padding (and fp32);
+  3. layout disagreements between the dots and the LayerNorm/residual
+     fusions insert four full copies of the (G, S, D) keys array.
+
+This path removes all three at the XLA level (no Pallas needed):
+
+  * the three image-side projections that read the keys array per layer
+    (k/v of token->image, q of image->token) are packed into ONE matmul
+    over ``keys + pe`` (v is corrected by the precomputed ``pe @ Wv``);
+  * per-head attention is computed via BLOCK-DIAGONAL expansion of the
+    tiny token-side operands: a (G, H*NT, I) operand whose row-block h
+    occupies column-block h turns all score/PV contractions into plain
+    batched dots over the 128-wide internal axis — scores live as
+    (G, H*NT, S) with the S axis on lanes, and no (…, dh) or (…, NT)
+    minor ever materializes. The H-fold FLOP blowup only touches
+    contractions whose logical cost is microscopic (~1 GFLOP vs the
+    limiter: bandwidth).
+
+Measured at decode shapes (G=96, S=900, NT=6, bf16): 1.38 ms vs 2.25 ms
+for the module path, bit-comparable outputs (max |d| == the packed
+re-association drift, ~0.04 on unit-scale bf16 data). The instance-grain
+Pallas kernel (ops/fused_twoway.py) measured 0.83x end-to-end and stays
+disabled; this formulation beats XLA's default schedule by fixing layouts,
+not by fusing harder.
+
+Enabled by default on TPU; ``_FORCE`` lets CPU tests exercise it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Toggled by tests to exercise this path on CPU.
+_ENABLE = True
+_FORCE = False
+
+# params-tuple layout per Attention: (Wq, bq, Wk, bk, Wv, bv, Wo, bo)
+_ATTN_N = 8
+
+
+def _ln(x, scale, bias, dtype, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    u = xf.mean(-1, keepdims=True)
+    v = jnp.square(xf - u).mean(-1, keepdims=True)
+    return ((xf - u) * jax.lax.rsqrt(v + eps) * scale + bias).astype(dtype)
+
+
+def _bd(x4: jax.Array) -> jax.Array:
+    """Block-diag head expansion: (B, T, H, dh) -> (B, H*T, H*dh); row-block
+    h holds head h's tokens in column-block h, zeros elsewhere."""
+    b, t, h, dh = x4.shape
+    eye = jnp.eye(h, dtype=x4.dtype)
+    return jnp.einsum("bthd,hg->bhtgd", x4, eye).reshape(b, h * t, h * dh)
+
+
+def _undiag(x: jax.Array, heads: int, t: int, dh: int) -> jax.Array:
+    """(B, H*T, H*dh) -> (B, T, H*dh), keeping the h==g diagonal blocks."""
+    b = x.shape[0]
+    eye = jnp.eye(heads, dtype=x.dtype)
+    x5 = x.reshape(b, heads, t, heads, dh)
+    return jnp.einsum("bhtgd,hg->bthd", x5, eye).reshape(b, t, heads * dh)
+
+
+def _dot(a, b, ca, cb, f32=True):
+    """Batched dot. f32=True materializes the result in fp32 (scores, which
+    feed softmax); attention outputs stay bf16 — the MXU accumulates in
+    fp32 either way, and an fp32 (G, S, I) output would double its HBM
+    write + force a cast pass."""
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32 if f32 else None)
+
+
+def _segment_softmax(s48: jax.Array, nt: int) -> jax.Array:
+    """Softmax over axis-1 groups of ``nt`` contiguous rows of (G, H*NT, S),
+    computed with reduce_window + repeat so the array never changes layout
+    (a reshape to (G, H, NT, S) regroups sublanes and costs full copies)."""
+    m = jax.lax.reduce_window(
+        s48, -jnp.inf, jax.lax.max, (1, nt, 1), (1, nt, 1), "VALID")
+    e = jnp.exp(s48 - jnp.repeat(m, nt, axis=1))
+    z = jax.lax.reduce_window(
+        e, 0.0, jax.lax.add, (1, nt, 1), (1, nt, 1), "VALID")
+    return e / jnp.repeat(z, nt, axis=1)
+
+
+def _attn_tok(q, k, v, p, heads, dtype):
+    """Token-side (all-small) attention; p = (Wq,bq,Wk,bk,Wv,bv,Wo,bo)."""
+    wq, bq, wk, bk, wv, bv, wo, bo = [x.astype(dtype) for x in p]
+    i = wq.shape[1]
+    dh = i // heads
+    b, nt = q.shape[:2]
+    qp = (q @ wq + bq).reshape(b, nt, heads, dh)
+    kp = (k @ wk + bk).reshape(b, k.shape[1], heads, dh)
+    vp = (v @ wv + bv).reshape(b, v.shape[1], heads, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
+                   preferred_element_type=jnp.float32) / np.sqrt(dh)
+    a = jax.nn.softmax(s, axis=-1).astype(dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", a, vp).reshape(b, nt, i)
+    return o @ wo + bo
+
+
+def twoway_blockdiag(
+    keys: jax.Array,            # (G, S, D) image tokens
+    point_embedding: jax.Array,  # (G, NT, D) sparse/class tokens
+    key_pe: jax.Array,          # (S, D) shared positional source
+    params: Sequence[jax.Array],
+    depth: int,
+    num_heads: int,
+    downsample_rate: int,
+    activation: Callable,
+    dtype: jnp.dtype,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (queries, keys), matching TwoWayTransformer.__call__."""
+    g, s, d = keys.shape
+    nt = point_embedding.shape[1]
+    i = d // downsample_rate
+    dh = i // num_heads
+    scale = 1.0 / np.sqrt(dh)
+    params = list(params)
+
+    def take(n):
+        out = params[:n]
+        del params[:n]
+        return out
+
+    queries = point_embedding.astype(dtype)
+    qpe = point_embedding.astype(dtype)
+    keys = keys.astype(dtype)
+    kpe = key_pe[None].astype(dtype)  # (1, S, D)
+
+    def t2i(queries, kp, vp, p_attn, p_norm):
+        """tokens attend to image; returns LN(queries + attn)."""
+        wq, bq = p_attn[0].astype(dtype), p_attn[1].astype(dtype)
+        wo, bo = p_attn[6].astype(dtype), p_attn[7].astype(dtype)
+        q = queries + qpe
+        qt = _bd((q @ wq + bq).reshape(g, nt, num_heads, dh))
+        s48 = _dot(qt, kp, 2, 2) * scale            # (G, H*NT, S)
+        a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+        o48 = _dot(a48, vp, 2, 1, f32=False)        # (G, H*NT, I) — tiny
+        o = _undiag(o48, num_heads, nt, dh)
+        return queries + (o @ wo + bo), p_norm
+
+    for layer in range(depth):
+        p_self = take(_ATTN_N)
+        n1s, n1b = take(2)
+        p_t2i = take(_ATTN_N)
+        n2s, n2b = take(2)
+        w1, b1, w2, b2 = [x.astype(dtype) for x in take(4)]
+        n3s, n3b = take(2)
+        p_i2t = take(_ATTN_N)
+        n4s, n4b = take(2)
+
+        # self attention on tokens (skip_first_layer_pe at layer 0)
+        if layer == 0:
+            queries = _attn_tok(queries, queries, queries, p_self,
+                                num_heads, dtype)
+        else:
+            q = queries + qpe
+            queries = queries + _attn_tok(q, q, queries, p_self,
+                                          num_heads, dtype)
+        queries = _ln(queries, n1s, n1b, dtype)
+
+        # packed image-side projections: one pass over keys + pe
+        wk, bk, wv, bv = [p_t2i[j].astype(dtype) for j in (2, 3, 4, 5)]
+        wq_i2t, bq_i2t = p_i2t[0].astype(dtype), p_i2t[1].astype(dtype)
+        wpack = jnp.concatenate([wk, wv, wq_i2t], axis=1)
+        bpack = jnp.concatenate([bk, bv, bq_i2t])
+        pk = (keys + kpe) @ wpack + bpack           # (G, S, 3I)
+        v_corr = kpe @ wv                           # (1, S, I)
+        kp = pk[..., :i]
+        vp = pk[..., i:2 * i] - v_corr
+        qp_img = pk[..., 2 * i:]
+
+        # token->image cross attention
+        out, _ = t2i(queries, kp, vp, p_t2i, None)
+        queries = _ln(out, n2s, n2b, dtype)
+
+        # mlp on tokens
+        queries = _ln(
+            queries + (activation(queries @ w1 + b1) @ w2 + b2),
+            n3s, n3b, dtype)
+
+        # image->token cross attention: scores (G, H*NT, S) keep S on lanes
+        wk2, bk2, wv2, bv2, wo2, bo2 = [x.astype(dtype) for x in p_i2t[2:]]
+        q = queries + qpe
+        kt = _bd((q @ wk2 + bk2).reshape(g, nt, num_heads, dh))
+        vt = _bd((queries @ wv2 + bv2).reshape(g, nt, num_heads, dh))
+        s48 = _dot(kt, qp_img, 2, 2) * scale
+        a = _segment_softmax(s48, nt).astype(dtype)
+        o = _dot(a, vt, 1, 1, f32=False)             # (G, S, I) bf16
+        keys = _ln(keys + (o @ wo2 + bo2), n4s, n4b, dtype)
+
+    # final token->image attention (packed k/v)
+    p_f = take(_ATTN_N)
+    nfs, nfb = take(2)
+    wq, bq, wk, bk, wv, bv, wo, bo = [x.astype(dtype) for x in p_f]
+    wpack = jnp.concatenate([wk, wv], axis=1)
+    bpack = jnp.concatenate([bk, bv])
+    pk = (keys + kpe) @ wpack + bpack
+    v_corr = kpe @ wv
+    kp = pk[..., :i]
+    vp = pk[..., i:] - v_corr
+    q = queries + qpe
+    qt = _bd((q @ wq + bq).reshape(g, nt, num_heads, dh))
+    s48 = _dot(qt, kp, 2, 2) * scale
+    a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+    o48 = _dot(a48, vp, 2, 1, f32=False)
+    o = _undiag(o48, num_heads, nt, dh)
+    queries = _ln(queries + (o @ wo + bo), nfs, nfb, dtype)
+    return queries, keys

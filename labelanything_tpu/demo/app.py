@@ -114,12 +114,114 @@ async function predict(){if(!supName||!qName){alert('load both images');return;}
 </script></body></html>"""
 
 
+_BUILTIN_PAGE = """<!doctype html>
+<html><head><title>LabelAnything — episode browser</title><style>
+body{font-family:sans-serif;margin:20px;background:#fafafa}
+img{border:1px solid #888;max-width:320px;margin:4px}
+button{margin:2px;padding:4px 10px}.cap{font-size:.85em;color:#444}
+</style></head><body>
+<h2>Built-in dataset episode browser</h2>
+<p><a href="/">interactive demo</a> · models: <span id="models"></span></p>
+<label>instances json <input id="inst" size="40"></label>
+<label>img dir <input id="imgs" size="30"></label><br>
+<label>ways <input id="ways" type="number" value="1" min="1" style="width:4em"></label>
+<label>shots <input id="shots" type="number" value="1" min="1" style="width:4em"></label>
+<label>image size <input id="size" type="number" value="480" step="32" style="width:5em"></label>
+<label>fold <input id="fold" type="number" value="-1" min="-1" max="3" style="width:4em"></label>
+<label>prompts <select id="ptypes" multiple size="3">
+<option value="point" selected>point</option><option value="bbox" selected>bbox</option>
+<option value="mask" selected>mask</option></select></label>
+<button onclick="loadDs()">Load dataset</button>
+<button onclick="sample()">Get sample</button>
+<button onclick="predict()">Predict</button>
+<a href="/builtin/download">Download results</a>
+<div id="status"></div><div id="supports"></div><div id="results"></div>
+<script>
+async function post(url, body){const r=await fetch(url,{method:'POST',
+ body:JSON.stringify(body||{})});return r.json();}
+fetch('/models').then(r=>r.json()).then(m=>
+ document.getElementById('models').textContent=m.models.join(', '));
+function val(id){return document.getElementById(id).value;}
+async function loadDs(){
+ const ptypes=[...document.getElementById('ptypes').selectedOptions].map(o=>o.value);
+ const out=await post('/builtin/load',{instances_path:val('inst'),img_dir:val('imgs'),
+  n_ways:+val('ways'),n_shots:+val('shots'),image_size:+val('size'),
+  fold:+val('fold'),prompt_types:ptypes});
+ document.getElementById('status').textContent=out.error?('error: '+out.error):'dataset loaded';}
+async function sample(){const out=await post('/builtin/sample');
+ if(out.error){document.getElementById('status').textContent='error: '+out.error;return;}
+ const d=document.getElementById('supports');
+ d.innerHTML=`<h3>query (${out.dataset})</h3><img src="data:image/png;base64,${out.query}">`+
+  '<h3>supports</h3>'+out.supports.map((s,i)=>
+  `<span><img src="data:image/png;base64,${s.image}"><div class="cap">${s.classes.join(', ')}</div></span>`).join('');}
+async function predict(){document.getElementById('status').textContent='running on TPU...';
+ const out=await post('/builtin/predict');
+ if(out.error){document.getElementById('status').textContent='error: '+out.error;return;}
+ document.getElementById('status').textContent='binary IoU: '+out.binary_iou.toFixed(3);
+ document.getElementById('results').innerHTML='<h3>results</h3>'+
+  Object.entries(out.plots).map(([t,p])=>
+  `<span><img src="data:image/png;base64,${p}"><div class="cap">${t}</div></span>`).join('');}
+</script></body></html>"""
+
+
 class DemoServer:
     def __init__(self, checkpoint: Optional[str] = None, image_size: int = 480):
         self.image_size = image_size
         self._model = None
         self._checkpoint = checkpoint
         self._lock = threading.Lock()
+        self.browser = None  # EpisodeBrowser, created by /builtin/load
+
+    # -- built-in episode browser endpoints (demo/builtin.py) ----------- #
+
+    def builtin_load(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        from .builtin import EpisodeBrowser
+
+        fold = int(payload.get("fold", -1))
+        name = "val_coco20i" if fold >= 0 else "val_coco"
+        params: Dict[str, Any] = {
+            "instances_path": payload["instances_path"],
+            "img_dir": payload.get("img_dir"),
+        }
+        if fold >= 0:
+            params.update(val_fold_idx=fold, n_folds=4, split="val")
+        if payload.get("num_samples"):
+            params["num_samples"] = int(payload["num_samples"])
+        image_size = int(payload.get("image_size", self.image_size))
+        self.browser = EpisodeBrowser(
+            {name: params},
+            {"image_size": image_size, "seed": int(payload.get("seed", 42))},
+            n_ways=int(payload.get("n_ways", 1)),
+            n_shots=int(payload.get("n_shots", 1)),
+            prompt_types=payload.get("prompt_types"),
+        )
+        return {"ok": True, "dataset": name}
+
+    def _episode_forward(self, input_dict):
+        import jax
+        import jax.numpy as jnp
+
+        la = self.model(num_classes=1)
+        dev = {k: jax.tree.map(jnp.asarray, v)
+               for k, v in input_dict.items()
+               if k not in (BatchKeys.CLASSES, BatchKeys.IMAGE_IDS)}
+        if not la.config.get("use_vit", False):
+            dev[BatchKeys.EMBEDDINGS] = dev.pop(
+                BatchKeys.IMAGES)[:, :, ::16, ::16, :]
+        with self._lock:
+            if la.params is None:
+                la.init_params(dev)
+            return la(dev)
+
+    def builtin_sample(self) -> Dict[str, Any]:
+        if self.browser is None:
+            raise RuntimeError("load a dataset first (/builtin/load)")
+        return self.browser.sample()
+
+    def builtin_predict(self) -> Dict[str, Any]:
+        if self.browser is None:
+            raise RuntimeError("load a dataset first (/builtin/load)")
+        return self.browser.predict(self._episode_forward)
 
     def model(self, num_classes: int):
         import jax
@@ -194,26 +296,47 @@ def make_handler(server: DemoServer):
         def log_message(self, *args):
             pass
 
-        def do_GET(self):
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html")
+        def _send(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
             self.end_headers()
-            self.wfile.write(_PAGE.encode())
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/builtin/download"):
+                if server.browser is None:
+                    self._send(404, b"no results yet", "text/plain")
+                    return
+                self._send(200, server.browser.download_zip(),
+                           "application/zip")
+            elif self.path.startswith("/builtin"):
+                self._send(200, _BUILTIN_PAGE.encode(), "text/html")
+            elif self.path.startswith("/models"):
+                from .builtin import retrieve_models
+
+                self._send(200, json.dumps(
+                    {"models": retrieve_models()}).encode(),
+                    "application/json")
+            else:
+                self._send(200, _PAGE.encode(), "text/html")
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
-            payload = json.loads(self.rfile.read(length))
+            payload = json.loads(self.rfile.read(length)) if length else {}
             try:
-                result = server.predict(payload)
+                if self.path.startswith("/builtin/load"):
+                    result = server.builtin_load(payload)
+                elif self.path.startswith("/builtin/sample"):
+                    result = server.builtin_sample()
+                elif self.path.startswith("/builtin/predict"):
+                    result = server.builtin_predict()
+                else:
+                    result = server.predict(payload)
                 code = 200
             except Exception as exc:  # surfaced to the UI
                 result = {"error": f"{type(exc).__name__}: {exc}"}
                 code = 500
-            body = json.dumps(result).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.end_headers()
-            self.wfile.write(body)
+            self._send(code, json.dumps(result).encode(), "application/json")
 
     return Handler
 

@@ -198,7 +198,15 @@ def get_batch_metadata(
     combs = [c for i in range(1, len(possible_prompts) + 1)
              for c in itertools.combinations(possible_prompts, i)]
     batch_sizes, examples_nums, prompt_types, num_classes = [], [], [], []
+    # rank-replicated schedule: each rank consumes dataset_len/num_processes
+    # episodes. A dataset smaller than the rank count must still schedule at
+    # least ONE batch group — otherwise validation silently runs zero
+    # episodes and reports all-zero metrics (episodes are then padded by
+    # repetition in VariableBatchSampler.__iter__, torch DistributedSampler
+    # semantics).
     remaining = dataset_len // num_processes
+    if dataset_len > 0:
+        remaining = max(remaining, 1)
     while remaining > 0:
         res = possible_batch_example_nums[
             int(rng.integers(len(possible_batch_example_nums)))]
@@ -291,9 +299,17 @@ class VariableBatchSampler:
     def __iter__(self) -> Iterator[List[Tuple[int, dict]]]:
         if self.do_shuffle:
             self.shuffle()
-            indices = iter(self.rng.permutation(len(self.data_source)).tolist())
+            order = self.rng.permutation(len(self.data_source)).tolist()
         else:
-            indices = iter(range(len(self.data_source)))
+            order = list(range(len(self.data_source)))
+        # the rank-replicated schedule can need more episodes than the
+        # dataset holds (dataset_len < num_processes): pad by repetition so
+        # every rank still receives a full static-shape batch
+        total_needed = sum(self.batch_sizes)
+        if order and total_needed > len(order):
+            reps = -(-total_needed // len(order))
+            order = (order * reps)[:total_needed]
+        indices = iter(order)
         for i, batch_size in enumerate(self.batch_sizes):
             if self.prompt_choice_level == "episode":
                 metadata = {k: v[i] for k, v in self.batch_metadata.items()

@@ -201,6 +201,8 @@ class Run:
         self.log_frequency = logger_params.get("log_frequency", 10)
         self.image_log_frequency = logger_params.get(
             "train_image_log_frequency", 0)
+        self.val_image_log_frequency = logger_params.get(
+            "val_image_log_frequency", 0)
         self.run_dir = run_dir
 
         # data
@@ -347,9 +349,12 @@ class Run:
     def launch(self):
         max_epochs = self.train_params.get("max_epochs", 1)
         best = None
+        val_frequency = int(self.train_params.get("val_frequency", 1) or 1)
         for epoch in range(getattr(self, "start_epoch", 0), max_epochs):
             self.train_epoch(epoch)
-            metrics = self.validate(epoch)
+            # validate every val_frequency epochs (reference: run.py:284)
+            metrics = (self.validate(epoch)
+                       if epoch % val_frequency == 0 else {})
             watch = self.train_params.get("watch_metric", "miou")
             value = metrics.get(watch, metrics.get("miou", 0.0))
             self.checkpoints.save_latest(self.state, epoch)
@@ -478,7 +483,7 @@ class Run:
                 loader.batch_sampler.reseed(self.seed + run_idx)
                 loader.reseed(self.seed + run_idx)  # also respawns process
                 # workers so their dataset copies pick up the new seed
-                per_run.append(self._validate_one(loader, name))
+                per_run.append(self._validate_one(loader, name, epoch=epoch))
             agg = {k: float(np.mean([r[k] for r in per_run]))
                    for k in per_run[0]}
             results.update({f"{name}_{k}": v for k, v in agg.items()})
@@ -492,13 +497,15 @@ class Run:
             results["miou"] = float(np.mean(mious))
         return results
 
-    def _validate_one(self, loader: EpisodeLoader, name: str) -> Dict[str, float]:
+    def _validate_one(self, loader: EpisodeLoader, name: str,
+                      epoch: Optional[int] = None) -> Dict[str, float]:
         dataset = loader.dataset
         categories = next(iter(dataset.datasets.values())).categories
         num_global = len(categories) + 1
         cm = np.zeros((num_global, num_global), np.int64)
         cm2 = np.zeros((2, 2), np.int64)
         substitutor = Substitutor(substitute=False)
+        val_step = 0
         for (batch, gts), _ in loader:
             # single pass: prompts come from rows 1..N (query = row 0), so
             # the modality check sees exactly what the reference's does
@@ -515,6 +522,20 @@ class Run:
                                 int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
             cm += global_confusion(preds, gts_np, lut, num_global)
             cm2 += binary_confusion_np(preds, gts_np)
+            val_step += 1
+            # epoch-indexed prompt-overlay grids, the JSONL counterpart of
+            # the reference's per-epoch validation image tables
+            # (reference: logger/wandb.py:472-906, val_image_log_frequency)
+            if (self.val_image_log_frequency
+                    and val_step % self.val_image_log_frequency == 0):
+                from ..utils.visualize import log_batch_images
+
+                paths = log_batch_images(
+                    self.run_dir, f"val_{name}_e{epoch}_s{val_step}",
+                    batch, preds, gts_np)
+                for p in paths:
+                    self.tracker.log_image(f"val_{name}_e{epoch}", p,
+                                           step=val_step)
         # same triple as the reference validate_run return (run.py:735-742)
         return {
             "miou": float(strict_mean_iou(jnp.asarray(cm))),

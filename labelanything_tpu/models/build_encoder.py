@@ -90,6 +90,12 @@ def _build_swin_b(**kwargs):
     return build_swin_b(**kwargs)
 
 
+def _build_mit_b0(**kwargs):
+    from .segformer import build_mit_b0
+
+    return build_mit_b0(**kwargs)
+
+
 ENCODERS = {
     "vit_h": build_vit_h,
     "vit_l": build_vit_l,
@@ -100,6 +106,9 @@ ENCODERS = {
     # pyramid backbones (reference: build_encoder.py:118-152)
     "resnet50": _build_resnet50,
     "swin_b": _build_swin_b,
+    # HF AutoModel fallback equivalent (reference: build_encoder.py:137-140)
+    "mit_b0": _build_mit_b0,
+    "nvidia/segformer-b0-finetuned-ade-512-512": _build_mit_b0,
 }
 
 

@@ -318,10 +318,24 @@ def build_multilevel_lam(
             enc_cfg.setdefault("image_size", image_size)
             image_encoder = build_swin_b(**enc_cfg)
             embed_dims = tuple(SWIN_B_STAGE_DIMS[s] for s in out_features)
+        elif enc_name == "mit_b0" or "segformer-b0" in enc_name:
+            # the reference resolves HF names via AutoModel and sizes levels
+            # from config.hidden_sizes (reference: build_encoder.py:137-140,
+            # build_lam.py:326-330) — all four MiT stages
+            from .segformer import MIT_B0_STAGE_DIMS, MIT_STAGE_STRIDES, \
+                build_mit_b0
+
+            out_features = tuple(enc_cfg.get(
+                "out_features", ("stage1", "stage2", "stage3", "stage4")))
+            enc_cfg["out_features"] = out_features
+            image_encoder = build_mit_b0(**enc_cfg)
+            embed_dims = tuple(MIT_B0_STAGE_DIMS[s] for s in out_features)
+            vit_patch_sizes = tuple(MIT_STAGE_STRIDES[s] for s in out_features)
         else:
             raise ValueError(f"unknown pyramid encoder {enc_name!r}")
-        # stage strides 8/16/32 regardless of backbone family
-        vit_patch_sizes = (8, 16, 32)[: len(out_features)]
+        if enc_name != "mit_b0" and "segformer-b0" not in enc_name:
+            # resnet/swin stage strides 8/16/32 regardless of backbone family
+            vit_patch_sizes = (8, 16, 32)[: len(out_features)]
 
     encoders = []
     decoders = []

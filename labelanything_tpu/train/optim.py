@@ -65,10 +65,12 @@ def build_scheduler(
             [max(num_warmup_steps, 1)],
         )
     if name == "cosine":
+        # optax takes TOTAL steps; keep decay_steps (total - warmup) positive
+        # even when the step count is not yet known (dry builds)
+        warmup = max(num_warmup_steps, 1)
+        total = max(num_training_steps or 0, warmup + 1)
         return optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, max(num_warmup_steps, 1),
-            num_training_steps or 1,
-        )
+            0.0, learning_rate, warmup, total)
     raise ValueError(f"Unknown scheduler {name!r}")
 
 

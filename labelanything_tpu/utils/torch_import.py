@@ -642,6 +642,107 @@ _HF_VIT_RENAMES: List[Tuple[str, str]] = [
 ]
 
 
+def convert_segformer_state_dict(
+        state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a HuggingFace ``SegformerModel`` state dict (e.g.
+    nvidia/segformer-b0-finetuned-ade-512-512) into a
+    :class:`labelanything_tpu.models.segformer.MixVisionTransformer` params
+    tree. HF keeps separate q/k/v projections; ours fuses k and v into one
+    ``kv`` dense whose output axis is laid out as (2, heads, dh) — k first."""
+    tree: Dict[str, Any] = {}
+
+    def insert(path: str, leaf: str, value: np.ndarray):
+        node = tree
+        for p in path.split("."):
+            node = node.setdefault(p, {})
+        node[leaf] = value
+
+    pending_kv: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, value in state_dict.items():
+        value = np.asarray(value)
+        key = re.sub(r"^(segformer\.)?encoder\.", "", key)
+        if key.startswith("pooler") or key.startswith("decode_head"):
+            continue
+        m = re.match(r"patch_embeddings\.(\d+)\.(proj|layer_norm)\.(weight|bias)",
+                     key)
+        if m:
+            i, mod, leaf = int(m.group(1)), m.group(2), m.group(3)
+            if mod == "proj":
+                insert(f"patch_embed{i + 1}.proj",
+                       "kernel" if leaf == "weight" else "bias",
+                       value.transpose(2, 3, 1, 0) if leaf == "weight" else value)
+            else:
+                insert(f"patch_embed{i + 1}.norm",
+                       "scale" if leaf == "weight" else "bias", value)
+            continue
+        m = re.match(r"layer_norm\.(\d+)\.(weight|bias)", key)
+        if m:
+            insert(f"norm{int(m.group(1)) + 1}",
+                   "scale" if m.group(2) == "weight" else "bias", value)
+            continue
+        m = re.match(r"block\.(\d+)\.(\d+)\.(.*)", key)
+        if not m:
+            continue
+        blk = f"block{int(m.group(1)) + 1}_{m.group(2)}"
+        rest = m.group(3)
+        ln = {"weight": "scale", "bias": "bias"}
+        for torch_name, ours in (("layer_norm_1", "norm1"),
+                                 ("layer_norm_2", "norm2"),
+                                 ("attention.self.layer_norm", "attn.sr_norm")):
+            mm = re.match(rf"{re.escape(torch_name)}\.(weight|bias)", rest)
+            if mm:
+                insert(f"{blk}.{ours}", ln[mm.group(1)], value)
+                rest = None
+                break
+        if rest is None:
+            continue
+        mm = re.match(r"attention\.self\.(query|key|value)\.(weight|bias)", rest)
+        if mm:
+            which, leaf = mm.group(1), mm.group(2)
+            if which == "query":
+                insert(f"{blk}.attn.q", "kernel" if leaf == "weight" else "bias",
+                       value.T if leaf == "weight" else value)
+            else:
+                slot = pending_kv.setdefault(blk, {})
+                slot[f"{which}.{leaf}"] = value
+            continue
+        mm = re.match(r"attention\.self\.sr\.(weight|bias)", rest)
+        if mm:
+            insert(f"{blk}.attn.sr",
+                   "kernel" if mm.group(1) == "weight" else "bias",
+                   value.transpose(2, 3, 1, 0) if mm.group(1) == "weight"
+                   else value)
+            continue
+        mm = re.match(r"attention\.output\.dense\.(weight|bias)", rest)
+        if mm:
+            insert(f"{blk}.attn.proj",
+                   "kernel" if mm.group(1) == "weight" else "bias",
+                   value.T if mm.group(1) == "weight" else value)
+            continue
+        mm = re.match(r"mlp\.(dense1|dense2)\.(weight|bias)", rest)
+        if mm:
+            name = "fc1" if mm.group(1) == "dense1" else "fc2"
+            insert(f"{blk}.mlp.{name}",
+                   "kernel" if mm.group(2) == "weight" else "bias",
+                   value.T if mm.group(2) == "weight" else value)
+            continue
+        mm = re.match(r"mlp\.dwconv\.dwconv\.(weight|bias)", rest)
+        if mm:
+            insert(f"{blk}.mlp.dwconv",
+                   "kernel" if mm.group(1) == "weight" else "bias",
+                   value.transpose(2, 3, 1, 0) if mm.group(1) == "weight"
+                   else value)
+            continue
+
+    for blk, slot in pending_kv.items():
+        kernel = np.concatenate([slot["key.weight"].T, slot["value.weight"].T],
+                                axis=1)
+        bias = np.concatenate([slot["key.bias"], slot["value.bias"]])
+        insert(f"{blk}.attn.kv", "kernel", kernel)
+        insert(f"{blk}.attn.kv", "bias", bias)
+    return tree
+
+
 def convert_hf_vit_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Convert a HuggingFace ViTModel state dict (e.g. facebook/vit-mae-base,
     google/vit-base-patch16-224-in21k, facebook/dino-vitb8) into a

@@ -90,3 +90,45 @@ def test_multilevel_lam_with_pyramid_encoder():
     logits = np.asarray(out[ResultDict.LOGITS])
     assert logits.shape == (1, 3, IMG, IMG)
     assert np.isfinite(logits).any()
+
+
+def test_mit_b0_segformer_parity():
+    """Native MiT vs HuggingFace SegformerModel built from a local config
+    (reference: build_encoder.py:137-140 AutoModel fallback for
+    nvidia/segformer-b0-*), weights mapped by convert_segformer_state_dict."""
+    transformers = pytest.importorskip("transformers")
+    from labelanything_tpu.models.segformer import MixVisionTransformer
+    from labelanything_tpu.utils.torch_import import (
+        convert_segformer_state_dict, merge_into_variables)
+
+    dims, depths = (8, 16, 24, 32), (1, 1, 2, 1)
+    heads, srs = (1, 2, 3, 4), (8, 4, 2, 1)
+    cfg = transformers.SegformerConfig(
+        num_encoder_blocks=4, depths=list(depths), hidden_sizes=list(dims),
+        num_attention_heads=list(heads), sr_ratios=list(srs),
+        patch_sizes=[7, 3, 3, 3], strides=[4, 2, 2, 2], mlp_ratios=[4] * 4,
+        hidden_act="gelu", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, drop_path_rate=0.0,
+        layer_norm_eps=1e-6, reshape_last_stage=True)
+    torch.manual_seed(7)
+    ref = transformers.SegformerModel(cfg).eval()
+
+    x = np.random.default_rng(8).standard_normal((2, 3, IMG, IMG)).astype(
+        np.float32)
+    with torch.no_grad():
+        hs = ref(torch.from_numpy(x), output_hidden_states=True).hidden_states
+
+    ours = MixVisionTransformer(embed_dims=dims, depths=depths,
+                                num_heads=heads, sr_ratios=srs)
+    example = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = ours.init(jax.random.key(0), example)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    converted = convert_segformer_state_dict(sd)
+    variables = merge_into_variables(variables, {"params": converted})
+    out = ours.apply(variables, example)
+
+    assert set(out) == {"stage1", "stage2", "stage3", "stage4"}
+    for i, stage in enumerate(["stage1", "stage2", "stage3", "stage4"]):
+        np.testing.assert_allclose(
+            np.asarray(out[stage]).transpose(0, 3, 1, 2), hs[i].numpy(),
+            rtol=2e-3, atol=2e-4, err_msg=stage)

@@ -41,7 +41,7 @@ def make_config(root, out):
         "experiment": {"name": "tiny", "continue_with_errors": False},
         "parameters": {
             "seed": [3],
-            "logger": {"log_frequency": [2]},
+            "logger": {"log_frequency": [2], "val_image_log_frequency": [1]},
             "train_params": {
                 "loss": {"class_weighting": [True],
                          "components": {"focal": {"weight": [1.0]}}},
@@ -104,8 +104,8 @@ def test_experimenter_end_to_end(coco_root, tmp_path, monkeypatch):
     # strided-pixel "embeddings" keep the test fast without an encoder
     orig = run_mod.Run._device_batch
 
-    def patched(self, batch):
-        device, host = orig(self, batch)
+    def patched(self, batch, **kw):
+        device, host = orig(self, batch, **kw)
         if BatchKeys.IMAGES in device:
             device[BatchKeys.EMBEDDINGS] = device.pop(
                 BatchKeys.IMAGES)[:, :, ::16, ::16, :]
@@ -123,12 +123,19 @@ def test_experimenter_end_to_end(coco_root, tmp_path, monkeypatch):
     assert (ckpt_dir / "latest").exists()
     assert (ckpt_dir / "best").exists()
     # metrics logged
-    lines = (tmp_path / "runs" / "run0" / "metrics.jsonl").read_text().splitlines()
+    run_dir = tmp_path / "runs" / "run0"
+    lines = (run_dir / "metrics.jsonl").read_text().splitlines()
     assert any("validate" in l for l in lines)
+    # per-epoch validation image tables (reference: logger/wandb.py:472-906):
+    # overlay PNGs on disk + image records in the metric stream
+    val_pngs = list((run_dir / "images").glob("val_*_e0_*.png"))
+    assert val_pngs, "val_image_log_frequency produced no overlay grids"
+    assert any("image/val_" in l for l in lines)
+    run_id = json.loads((run_dir / "run_meta.json").read_text())["run_id"]
 
     # resume path: a fresh Run restores from the checkpoint
     flat = exp.runs[0]
-    run2 = run_mod.Run().init(flat, run_dir=str(tmp_path / "runs" / "run0"))
+    run2 = run_mod.Run().init(flat, run_dir=str(run_dir))
     (batch, gts), _ = next(iter(run2.train_loader))
     device_batch, _ = run2._device_batch(batch)
     from labelanything_tpu.train.substitutor import Substitutor
@@ -138,3 +145,11 @@ def test_experimenter_end_to_end(coco_root, tmp_path, monkeypatch):
     input_dict, gt = next(sub)
     run2._lazy_init(input_dict, gt)
     assert run2.start_epoch == 1
+    # the resumed run reopens the SAME logical run (reference:
+    # logger/wandb.py:115-178 run-id resume) and appends to its stream
+    assert run2.tracker.resumed and run2.tracker.run_id == run_id
+    run2.validate(epoch=1)
+    lines2 = (run_dir / "metrics.jsonl").read_text().splitlines()
+    assert len(lines2) > len(lines), "resumed run did not append to the stream"
+    assert list((run_dir / "images").glob("val_*_e1_*.png")), \
+        "resumed validation logged no epoch-indexed images"

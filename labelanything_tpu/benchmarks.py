@@ -47,13 +47,14 @@ def _peak_tflops() -> float | None:
     return None
 
 
-def _compiled_flops(jitted, *args) -> float | None:
-    """FLOPs of one call of ``jitted(*args)`` from XLA's compiled cost
-    analysis (exact for matmul-dominated graphs; the vit mode cross-checks
-    it against the hand-derived count to within a few %). Compiling here
-    warms jax's jit cache, so the subsequent timed calls do not re-trace."""
+def _compiled_flops(jitted, *args, **kwargs) -> float | None:
+    """FLOPs of one call of ``jitted(*args, **kwargs)`` from XLA's compiled
+    cost analysis (exact for matmul-dominated graphs; the vit mode
+    cross-checks it against the hand-derived count to within a few %).
+    Compiling here warms jax's jit cache, so the subsequent timed calls do
+    not re-trace."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         return float(ca["flops"])
     except Exception:

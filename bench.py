@@ -55,7 +55,7 @@ def main():
         kw["encoder"] = args.encoder
     if args.tp and args.mode == "vit":
         kw["tp"] = True
-    if args.device_loop and args.mode == "decode":
+    if args.device_loop and args.mode in ("decode", "train"):
         kw["device_loop"] = True
     if args.mode == "pipeline":
         if args.workers:

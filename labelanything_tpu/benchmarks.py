@@ -21,6 +21,7 @@ Timing methodology:
 
 from __future__ import annotations
 
+import functools
 import statistics
 import time
 
@@ -193,36 +194,61 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
         class_encoder={"name": "RandomMatrixEncoder", "bank_size": 100},
         dtype=jnp.bfloat16,
     )
-    batch = jax.tree.map(jnp.asarray, random_batch(
+    # TWO distinct episode batches, stacked leaf-wise; each step reads slot
+    # i % 2 via dynamic_slice. Inputs vary per step like a real serving
+    # stream, so XLA cannot hoist input-only work (neck, prompt embedding)
+    # out of the loop — a carry-nudge on one input leaf lets every stage
+    # that does not consume that leaf become loop-invariant and measures a
+    # fantasy number.
+    batches = [jax.tree.map(jnp.asarray, random_batch(
         batch_size=batch_size, num_examples=shots, num_classes=ways + 1,
-        image_size=image_size, embed_dim=768,
-    ))
-    params = jax.jit(model.init)(jax.random.key(0), batch)
+        image_size=image_size, embed_dim=768, seed=s,
+    )) for s in (0, 1)]
+    stream = jax.tree.map(lambda a, b: jnp.stack([a, b]), *batches)
+    params = jax.jit(model.init)(jax.random.key(0), batches[0])
 
-    def one_step(params, batch, carry):
-        b = dict(batch)
-        emb = b[BatchKeys.EMBEDDINGS]
-        b[BatchKeys.EMBEDDINGS] = emb + carry.astype(emb.dtype) * 0
+    def one_step(params, stream, carry):
+        cnt, acc = carry
+        b = jax.tree.map(
+            lambda s: jax.lax.dynamic_index_in_dim(s, cnt % 2, 0,
+                                                   keepdims=False), stream)
         out = model.apply(params, b)
         logits = out[ResultDict.LOGITS]
-        return carry + jnp.sum(jnp.where(jnp.isfinite(logits), logits, 0.0))
+        return (cnt + 1,
+                acc + jnp.sum(jnp.where(jnp.isfinite(logits), logits, 0.0)))
 
-    step_flops = _compiled_flops(jax.jit(one_step), params, batch,
-                                 jnp.float32(0))
+    carry0 = (jnp.int32(0), jnp.float32(0))
+    step_flops = _compiled_flops(jax.jit(one_step), params, stream, carry0)
+    jitted = jax.jit(one_step)
     if device_loop:
         @jax.jit
-        def run_all(params, batch, carry):
+        def run_all(params, stream, carry):
             return jax.lax.fori_loop(
-                0, steps, lambda i, c: one_step(params, batch, c), carry)
+                0, steps, lambda i, c: one_step(params, stream, c), carry)
 
-        # one dispatch covers `steps` chained episodes
-        sec, spread = _timed_chain(run_all, params, batch, 1, reps)
-        sec = sec / steps
+        def run_rep():  # one dispatch covers `steps` chained episodes
+            return run_all(params, stream, carry0)
+
         suffix = ", device loop"
     else:
-        sec, spread = _timed_chain(jax.jit(one_step), params, batch, steps,
-                                   reps)
+        def run_rep():
+            carry = carry0
+            for _ in range(steps):
+                carry = jitted(params, stream, carry)
+            return carry
+
         suffix = ""
+
+    assert np.isfinite(float(run_rep()[1])), "non-finite warmup output"
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        total = float(run_rep()[1])  # single sync per rep
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(total)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med else 0.0
+    sec = med / steps
     return _attach_mfu({
         "metric": (f"episodes/sec ({ways}-way {shots}-shot decode, "
                    f"{image_size}px, bf16{suffix})"),
@@ -233,11 +259,17 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
 
 
 def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
-                reps=3):
+                reps=3, device_loop=False):
     """Full training step throughput on the flagship lam_no_vit config:
     forward + focal loss + backward + AdamW update (the reference's hot loop,
     reference: experiment/run.py:425-590). The chained TrainState (donated)
-    is the cross-step dependency; one scalar fetch per rep syncs."""
+    is the cross-step dependency; one scalar fetch per rep syncs.
+
+    ``device_loop=True`` runs every step inside ONE jitted fori_loop over a
+    2-slot episode stream (inputs vary per step, so nothing hoists) — a
+    single dispatch per rep, measuring pure on-device training throughput;
+    the default dispatch-per-step mode pays the tunneled dev setup's
+    ~2-4 ms host round-trip on every ~7 ms step."""
     from labelanything_tpu.data.synthetic import random_full_batch
     from labelanything_tpu.models.build_lam import build_lam_no_vit
     from labelanything_tpu.parallel.train_step import (init_train_state,
@@ -281,25 +313,59 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
         return train_step(state, batch, gt, jax.random.key(0), 1.0,
                           apply_update=True)
 
-    step_flops = _compiled_flops(train_step, state, batch, gt,
-                                 jax.random.key(0), 1.0, apply_update=True)
-    # warmup: compile + 2 steps
-    for i in range(2):
-        state, aux = run(state, i)
-    assert np.isfinite(float(aux["loss"])), "non-finite warmup loss"
+    step_flops = _compiled_flops(
+        getattr(train_step, "jitted", train_step), state, batch, gt,
+        jax.random.key(0), 1.0, apply_update=True)
+    if device_loop:
+        # second, distinct episode batch for the 2-slot input stream
+        full2 = jax.tree.map(jnp.asarray, random_full_batch(
+            batch_size=batch_size, num_examples=shots, num_classes=c,
+            image_size=image_size, embed_dim=768, seed=1,
+        ))
+        sub2 = Substitutor(num_points=1, substitute=False)
+        sub2.reset(full2)
+        batch2, gt2 = next(sub2)
+        stream = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                              (batch, gt), (batch2, gt2))
 
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for i in range(steps):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_all(state, stream):
+            def body(i, st):
+                b, g = jax.tree.map(
+                    lambda s: jax.lax.dynamic_index_in_dim(
+                        s, i % 2, 0, keepdims=False), stream)
+                st, _ = train_step.raw(st, b, g, jax.random.key(0), 1.0,
+                                       apply_update=True)
+                return st
+            return jax.lax.fori_loop(0, steps, body, state)
+
+        state = run_all(state, stream)  # warmup compile
+        assert int(state.step) == steps  # sync + sanity
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = run_all(state, stream)
+            _ = int(state.step)  # single sync per rep
+            times.append(time.perf_counter() - t0)
+    else:
+        # warmup: compile + 2 steps
+        for i in range(2):
             state, aux = run(state, i)
-        _ = float(aux["loss"])  # single sync per rep (states chain)
-        times.append(time.perf_counter() - t0)
+        assert np.isfinite(float(aux["loss"])), "non-finite warmup loss"
+
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, aux = run(state, i)
+            _ = float(aux["loss"])  # single sync per rep (states chain)
+            times.append(time.perf_counter() - t0)
     med = statistics.median(times)
     spread = (max(times) - min(times)) / med if med else 0.0
     return _attach_mfu({
         "metric": (f"train episodes/sec ({ways}-way {shots}-shot, "
-                   f"{image_size}px, bf16, fwd+bwd+AdamW)"),
+                   f"{image_size}px, bf16, fwd+bwd+AdamW"
+                   + (", device loop)" if device_loop else ")")),
         "value": round(batch_size * steps / med, 2),
         "unit": "episodes/sec",
         "spread": round(spread, 3),

@@ -251,9 +251,12 @@ class Lam(nn.Module):
         rows = jnp.arange(s)[None, :] < ih[:, None]  # (B, S)
         cols = jnp.arange(s)[None, :] < iw[:, None]
         valid = rows[:, :, None] & cols[:, None, :]  # (B, S, S)
-        seg = jnp.where(valid[:, None], seg, _NEG_INF)
-        bg = jnp.where(valid, seg[:, 0], 0.0)
-        return jnp.concatenate([bg[:, None], seg[:, 1:]], axis=1)
+        # single fused pass: pad fill is 0 for the bg channel, -inf for the
+        # rest (the reference's where + concat makes two extra full copies
+        # of the logits — at 480px that is ~90 MB of HBM traffic per step)
+        c = seg.shape[1]
+        fill = jnp.full((c,), _NEG_INF, seg.dtype).at[0].set(0.0)
+        return jnp.where(valid[:, None], seg, fill[None, :, None, None])
 
 
 class BinaryLam(Lam):

@@ -14,15 +14,47 @@ import jax
 import jax.numpy as jnp
 
 
+def _bilinear_matrix(n_in: int, n_out: int, dtype) -> jax.Array:
+    """Dense (n_out, n_in) interpolation matrix for half-pixel
+    (``align_corners=False``) bilinear sampling with edge clamping — the
+    exact torch / ``jax.image.resize(antialias=False)`` weight scheme. Each
+    output row holds the two neighbor weights (or one, at the clamped
+    edges), so ``M @ x`` IS the resize along that axis."""
+    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    lo = jnp.clip(jnp.floor(pos), 0, n_in - 1)
+    hi = jnp.clip(lo + 1, 0, n_in - 1)
+    w_hi = jnp.clip(pos - lo, 0.0, 1.0)
+    cols = jnp.arange(n_in, dtype=jnp.float32)[None, :]
+    m = ((cols == lo[:, None]) * (1.0 - w_hi[:, None])
+         + (cols == hi[:, None]) * w_hi[:, None])
+    return m.astype(dtype)
+
+
 def resize_bilinear(x: jax.Array, size: Sequence[int], spatial_axes=(-2, -1)) -> jax.Array:
     """Bilinear resize of the two ``spatial_axes`` to ``size`` (H, W).
 
     Matches torch ``align_corners=False`` / no antialiasing semantics.
+
+    Implemented as two dense interpolation matmuls: ``jax.image.resize``
+    lowers to per-axis gather/pad pipelines that leave several unfused HBM
+    passes on TPU (measured ~3.5x slower at decode-postprocess shapes,
+    scripts/microbench_decode3.py); a (n_out, n_in) matmul rides the MXU
+    and fuses with its consumers. fp32 inputs use HIGHEST matmul precision
+    so results stay within fp32 rounding of the exact weights.
     """
     axes = [a % x.ndim for a in spatial_axes]
     shape = list(x.shape)
     shape[axes[0]] = int(size[0])
     shape[axes[1]] = int(size[1])
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    mh = _bilinear_matrix(x.shape[axes[0]], int(size[0]), x.dtype)
+    mw = _bilinear_matrix(x.shape[axes[1]], int(size[1]), x.dtype)
+    if axes == [x.ndim - 2, x.ndim - 1]:
+        x = jnp.einsum("...hw,Hh->...Hw", x, mh, precision=prec)
+        return jnp.einsum("...hw,Ww->...hW", x, mw, precision=prec)
+    if x.ndim >= 3 and axes == [x.ndim - 3, x.ndim - 2]:
+        x = jnp.einsum("...hwc,Hh->...Hwc", x, mh, precision=prec)
+        return jnp.einsum("...hwc,Ww->...hWc", x, mw, precision=prec)
     return jax.image.resize(x, shape, method="bilinear", antialias=False)
 
 

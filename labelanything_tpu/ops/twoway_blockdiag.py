@@ -92,8 +92,12 @@ def _segment_softmax(s48: jax.Array, nt: int) -> jax.Array:
     """Softmax over axis-1 groups of ``nt`` contiguous rows of (G, H*NT, S),
     computed with reduce_window + repeat so the array never changes layout
     (a reshape to (G, H, NT, S) regroups sublanes and costs full copies)."""
-    m = jax.lax.reduce_window(
-        s48, -jnp.inf, jax.lax.max, (1, nt, 1), (1, nt, 1), "VALID")
+    # stop_gradient on the shift: softmax is shift-invariant so the max's
+    # cotangent cancels exactly — but letting AD compute that zero routes
+    # the backward through SelectAndScatter (the max-reduce_window
+    # transpose), which scalarizes on TPU. jax.nn.softmax does the same.
+    m = jax.lax.stop_gradient(jax.lax.reduce_window(
+        s48, -jnp.inf, jax.lax.max, (1, nt, 1), (1, nt, 1), "VALID"))
     e = jnp.exp(s48 - jnp.repeat(m, nt, axis=1))
     z = jax.lax.reduce_window(
         e, 0.0, jax.lax.add, (1, nt, 1), (1, nt, 1), "VALID")

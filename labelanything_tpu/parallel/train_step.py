@@ -103,7 +103,20 @@ def make_train_step(
         return new_state, aux
 
     if mesh is None:
-        return jax.jit(step_fn, static_argnames=("apply_update",), donate_argnums=(0,))
+        jitted = jax.jit(step_fn, static_argnames=("apply_update",),
+                         donate_argnums=(0,))
+
+        def train_step_local(state, batch, gt, rng, loss_scale, *,
+                             apply_update: bool = True):
+            return jitted(state, batch, gt, rng, loss_scale,
+                          apply_update=apply_update)
+
+        # raw (unjitted) step for callers that embed it in a larger jitted
+        # program (e.g. the bench's single-dispatch fori_loop mode); the
+        # jitted handle stays reachable for lower()/cost analysis
+        train_step_local.raw = step_fn
+        train_step_local.jitted = jitted
+        return train_step_local
 
     # pjit rejects kwargs when in_shardings is given -> one compiled callable
     # per static apply_update value, dispatched by a thin wrapper.

@@ -143,6 +143,47 @@ def _shift_bound(q, k, r=None, rh_width: int = 0):
     return m
 
 
+def _bias_loop_vpu(q, k, v, r, m, *, rh_width: int, kw: int, block_k: int,
+                   d: int, out_dtype):
+    """Flash inner loop with the rel-pos bias applied by VPU broadcast adds
+    instead of the one-hot expansion matmul.
+
+    Requires row-major keys (j = ky*kw + kx) and ``block_k % kw == 0``:
+    each k-block then covers ``block_k // kw`` whole ky rows, so the
+    rel_w half of the factored bias tiles the lane axis exactly
+    (loop-invariant — built once, with the softmax shift folded in) and
+    the rel_h half is a per-row scalar lane-broadcast. This deletes one
+    of the THREE MXU passes per score tile (QK / bias-expand / PV), the
+    kernels' measured bottleneck: 8.9 -> 7.9 ms on the ViT-B@1024 global
+    layer (scripts/microbench_softmax_dtype.py mode e; bf16 VPU tiles —
+    mode f — measured slower and stay out). Numerics: identical sums
+    reassociated, max |delta| 6e-5 on unit-scale bf16 inputs."""
+    bq = q.shape[0]
+    rows = block_k // kw
+    rh = r[:, :rh_width]
+    rww = jnp.concatenate([r[:, rh_width:]] * rows, axis=1) - m
+    k_len = k.shape[0]
+    o = jnp.zeros((bq, d + 1), jnp.float32)
+    for kb in range(0, k_len, block_k):
+        s = jax.lax.dot_general(
+            q, k[kb:kb + block_k], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r0 = kb // kw
+        rh2 = jnp.concatenate(
+            [jnp.broadcast_to(rh[:, r0 + i:r0 + i + 1], (bq, kw))
+             for i in range(rows)], axis=1)
+        p = jnp.exp2(s + rh2 + rww).astype(v.dtype)
+        o = o + jax.lax.dot_general(
+            p, v[kb:kb + block_k], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return _finish(o, d, out_dtype)
+
+
+def vpu_bias_ok(kh: int, kw: int, n: int, block_k: int) -> bool:
+    """Preconditions of :func:`_bias_loop_vpu` (see its docstring)."""
+    return kh * kw == n and block_k % kw == 0 and kw >= 8
+
+
 # --------------------------------------------------------------------- #
 # kernel bodies (q pre-scaled by scale*log2e, v ones-augmented;
 # the contraction dim of q/k may be bias-augmented — see module docstring)
@@ -371,6 +412,20 @@ def _relpos_kernel_packed(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
     o_ref[0, 0] = _finish(o, d, o_ref.dtype)
 
 
+def _relpos_kernel_packed_vpu(qkv_q, qkv_k, qkv_v, r_ref, o_ref, *,
+                              scale: float, rh_width: int, kw: int,
+                              block_k: int):
+    """Packed-layout kernel with the VPU bias loop (no one-hot operand)."""
+    q = qkv_q[0, 0].astype(jnp.float32) * (scale * _LOG2E)  # (BQ, dh)
+    k = qkv_k[0, 0].astype(jnp.float32)                     # (K, dh)
+    v = _augment_v(qkv_v[0, 0])                             # (K, dh+1)
+    r = r_ref[0, 0].astype(jnp.float32)                     # (BQ, Kh+Kw)
+    d = qkv_v.shape[-1]
+    m = _shift_bound(q, k, r, rh_width)                     # (BQ, 1)
+    o_ref[0, 0] = _bias_loop_vpu(q, k, v, r, m, rh_width=rh_width, kw=kw,
+                                 block_k=block_k, d=d, out_dtype=o_ref.dtype)
+
+
 def _relpos_kernel_packed_batched(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
                                   scale: float, rh_width: int):
     """(G, 1, N, ...) short-window blocks of the packed layout."""
@@ -451,21 +506,45 @@ def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     block_k = _BLOCK_K if n % _BLOCK_K == 0 else n
     grid = (b, heads, n // block_q)
 
+    qkv_specs = [
+        pl.BlockSpec((1, 1, block_q, dh), lambda i, h, j: (i, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n, dh), lambda i, h, j: (i, heads + h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n, dh),
+                     lambda i, h, j: (i, 2 * heads + h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, rr), lambda i, h, j: (i, h, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if vpu_bias_ok(kh, kw, n, block_k):
+        # bias applied by VPU broadcast adds — the one-hot operand (and its
+        # MXU expansion pass) disappears; see _bias_loop_vpu.
+        return pl.pallas_call(
+            functools.partial(_relpos_kernel_packed_vpu, scale=scale,
+                              rh_width=kh, kw=kw, block_k=block_k),
+            out_shape=jax.ShapeDtypeStruct((b, heads, n, dh), qkv.dtype),
+            grid=grid,
+            in_specs=qkv_specs,
+            out_specs=pl.BlockSpec((1, 1, block_q, dh),
+                                   lambda i, h, j: (i, h, j, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * heads * n * n * dh,
+                bytes_accessed=(qkv.size + r.size) * qkv.dtype.itemsize,
+                transcendentals=b * heads * n * n,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_INTERPRET,
+        )(qkv, qkv, qkv, r)
+
     return pl.pallas_call(
         functools.partial(_relpos_kernel_packed, scale=scale, rh_width=kh,
                           block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((b, heads, n, dh), qkv.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, dh), lambda i, h, j: (i, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, dh), lambda i, h, j: (i, heads + h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, dh),
-                         lambda i, h, j: (i, 2 * heads + h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, rr), lambda i, h, j: (i, h, j, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=qkv_specs + [
             pl.BlockSpec((rr, n), lambda i, h, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -481,6 +560,31 @@ def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(qkv, qkv, qkv, r, e)
+
+
+def _relpos_lanes_kernel_vpu(q_ref, k_ref, v_ref, r_ref, o_ref, *,
+                             scale: float, rh_width: int, kw: int,
+                             block_k: int):
+    """Lane-sliced kernel with the VPU bias loop (see _bias_loop_vpu):
+    identical head-pair BlockSpec layout, no one-hot operand."""
+    dh = q_ref.shape[-1] // 2
+    rr = r_ref.shape[-1] // 2
+    q2 = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)    # (BQ, 2*dh)
+    k2 = k_ref[0].astype(jnp.float32)                       # (K, 2*dh)
+    v2 = v_ref[0]                                           # (K, 2*dh)
+    r2 = r_ref[0].astype(jnp.float32)                       # (BQ, 2*rr)
+
+    outs = []
+    for t in (0, 1):
+        q = q2[:, t * dh:(t + 1) * dh]
+        k = k2[:, t * dh:(t + 1) * dh]
+        v = _augment_v(v2[:, t * dh:(t + 1) * dh])
+        r = r2[:, t * rr:(t + 1) * rr]
+        m = _shift_bound(q, k, r, rh_width)
+        outs.append(_bias_loop_vpu(q, k, v, r, m, rh_width=rh_width, kw=kw,
+                                   block_k=block_k, d=dh,
+                                   out_dtype=o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)               # (BQ, 2*dh)
 
 
 def _relpos_lanes_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *,
@@ -548,38 +652,57 @@ def _lanes_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     block_k = _BLOCK_K if n % _BLOCK_K == 0 else n
     grid = (b, heads // 2, n // block_q)
 
+    qkv_specs = [
+        # lane-block index maps: pair hp reads lanes [hp*128, hp*128+128)
+        # of the q / k / v regions of the SAME (B, N, 3C) array
+        pl.BlockSpec((1, block_q, 2 * dh),
+                     lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 2 * dh),
+                     lambda i, hp, j, _h=heads // 2: (i, 0, _h + hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 2 * dh),
+                     lambda i, hp, j, _h=heads // 2: (i, 0, 2 * _h + hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 2 * rr),
+                     lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=4 * b * heads * n * n * dh + 2 * b * heads * n * rr * n,
+        bytes_accessed=(qkv.size + r.size + b * n * c)
+        * qkv.dtype.itemsize,
+        transcendentals=b * heads * n * n,
+    )
+    if vpu_bias_ok(kh, kw, n, block_k):
+        return pl.pallas_call(
+            functools.partial(_relpos_lanes_kernel_vpu, scale=scale,
+                              rh_width=kh, kw=kw, block_k=block_k),
+            out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            grid=grid,
+            in_specs=qkv_specs,
+            out_specs=pl.BlockSpec((1, block_q, 2 * dh),
+                                   lambda i, hp, j: (i, j, hp),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_INTERPRET,
+        )(qkv, qkv, qkv, r)
+
     return pl.pallas_call(
         functools.partial(_relpos_lanes_kernel, scale=scale, rh_width=kh,
                           block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
         grid=grid,
-        in_specs=[
-            # lane-block index maps: pair hp reads lanes [hp*128, hp*128+128)
-            # of the q / k / v regions of the SAME (B, N, 3C) array
-            pl.BlockSpec((1, block_q, 2 * dh),
-                         lambda i, hp, j: (i, j, hp),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 2 * dh),
-                         lambda i, hp, j, _h=heads // 2: (i, 0, _h + hp),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 2 * dh),
-                         lambda i, hp, j, _h=heads // 2: (i, 0, 2 * _h + hp),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 2 * rr),
-                         lambda i, hp, j: (i, j, hp),
-                         memory_space=pltpu.VMEM),
+        in_specs=qkv_specs + [
             pl.BlockSpec((rr, n), lambda i, hp, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, 2 * dh),
                                lambda i, hp, j: (i, j, hp),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * n * n * dh + 2 * b * heads * n * rr * n,
-            bytes_accessed=(qkv.size + r.size + b * n * c)
-            * qkv.dtype.itemsize,
-            transcendentals=b * heads * n * n,
-        ),
+        cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,

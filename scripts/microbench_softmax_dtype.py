@@ -13,6 +13,16 @@ Variants:
   a. current packed kernel (fp32 scores, fp32 exp2)
   b. fp32 score matmuls, bf16 subtract+exp2 (cast once after the bias add)
   c. bf16 score matmuls (preferred_element_type=bf16), bf16 exp2
+  d. bf16 OPERANDS for the score/bias dots (fp32 accumulate) — modes a-c
+     all fed fp32 operands into dot_general, which Mosaic lowers to
+     multi-pass MXU matmuls; this is the one-pass variant.
+     MEASURED: bit-identical to mode a -> the "fp32" dots already ran with
+     bf16-rounded operands (default matmul precision); kernel is MXU-bound.
+  e. NO bias matmul: the rel-pos bias at grid 64x64 is lane-aligned —
+     key j = ky*64 + kx, so a 512-key block is 8 ky-rows x 64 kx lanes:
+     bias = concat_8(rw) (loop-invariant, fold -m in) + per-row scalar
+     broadcasts of rh columns. Eliminates 1 of the 3 MXU passes per
+     score tile (QK / bias / PV -> QK / PV).
 """
 
 from __future__ import annotations
@@ -48,11 +58,34 @@ def _kernel_variant(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
 
     mb = m.astype(jnp.bfloat16)
     k_len = k.shape[0]
+    if mode == "d":
+        q, k, r, e = (x.astype(jnp.bfloat16) for x in (q, k, r, e))
+    bq = q.shape[0]
+    if mode in ("e", "f"):
+        kw = r.shape[1] - rh_width
+        rows = block_k // kw
+        rh_cols = r[:, :rh_width]
+        rww = jnp.concatenate([r[:, rh_width:]] * rows, axis=1) - m
+        if mode == "f":
+            rh_cols = rh_cols.astype(jnp.bfloat16)
+            rww = rww.astype(jnp.bfloat16)
     o = jnp.zeros((q.shape[0], d + 1), jnp.float32)
     for kb_i in range(0, k_len, block_k):
         s = jax.lax.dot_general(
             q, k[kb_i:kb_i + block_k], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if mode in ("e", "f"):
+            if mode == "f":
+                s = s.astype(jnp.bfloat16)
+            r0 = kb_i // kw
+            rh2 = jnp.concatenate(
+                [jnp.broadcast_to(rh_cols[:, r0 + i:r0 + i + 1], (bq, kw))
+                 for i in range(rows)], axis=1)
+            p = jnp.exp2(s + rh2 + rww).astype(v.dtype)
+            o = o + jax.lax.dot_general(
+                p, v[kb_i:kb_i + block_k], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            continue
         s = s + jax.lax.dot_general(
             r, e[:, kb_i:kb_i + block_k], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -144,7 +177,7 @@ def main():
     # numerics first: max |Δ| vs the fp32-score kernel
     ref = np.asarray(flash_attention_relpos_packed(
         qkv, r, scale, (GRID, GRID), HEADS)).astype(np.float32)
-    for mode in ("a", "b", "c"):
+    for mode in ("a", "e", "f"):
         out = np.asarray(run_variant(qkv, r, scale, (GRID, GRID), HEADS,
                                      mode)).astype(np.float32)
         err = np.abs(out - ref).max()
@@ -164,7 +197,7 @@ def main():
             return out
         return fn
 
-    for mode in ("a", "b", "c"):
+    for mode in ("a", "e", "f"):
         t = timed(stack(mode), (qkv,))
         print(f"mode {mode}: {t * 1e3 / C:.3f} ms per kernel call", flush=True)
 

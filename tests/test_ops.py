@@ -135,6 +135,35 @@ def test_flash_relpos_packed_interpret_matches_xla(case):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("grid_hw", [(48, 16), (16, 48)])
+def test_flash_relpos_lanes_interpret_matches_xla(grid_hw):
+    """Lane-sliced head-pair kernel vs the XLA reference, covering BOTH
+    bias paths: (48, 16) satisfies vpu_bias_ok (block_k % kw == 0 -> VPU
+    broadcast-add bias), (16, 48) does not (one-hot matmul bias)."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    kh, kw = grid_hw
+    b, heads, dh = 2, 2, 64
+    n, c = kh * kw, 2 * dh
+    rng = np.random.default_rng(9)
+    qkv = jnp.asarray(
+        rng.standard_normal((b, n, 3 * c)).astype(np.float32))
+    r = jnp.asarray(
+        rng.standard_normal((b, n, heads * (kh + kw))).astype(np.float32))
+    assert fa.lanes_kernel_ok(heads, dh, kh, kw)
+    old_i, old_bq, old_bk = fa._INTERPRET, fa._BLOCK_Q, fa._BLOCK_K
+    fa._INTERPRET, fa._BLOCK_Q, fa._BLOCK_K = True, 256, 256
+    try:
+        assert fa.vpu_bias_ok(kh, kw, n, 256) == (kw == 16)
+        out = fa.flash_attention_relpos_lanes(qkv, r, dh ** -0.5, (kh, kw),
+                                              heads)
+    finally:
+        fa._INTERPRET, fa._BLOCK_Q, fa._BLOCK_K = old_i, old_bq, old_bk
+    ref = fa._lanes_xla_ref(qkv, r, dh ** -0.5, (kh, kw), heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flash_relpos_packed_grad():
     """The packed kernel is differentiable (XLA-recompute VJP)."""
     from labelanything_tpu.ops import flash_attention as fa

@@ -169,6 +169,7 @@ class ViTAttention(nn.Module):
         from ..ops.attention import _on_tpu
         from ..ops.flash_attention import (_BLOCK_Q, _LOG2E,
                                            flash_attention_relpos_lanes,
+                                           flash_attention_relpos_lanes_batched,
                                            flash_attention_relpos_packed,
                                            lanes_kernel_ok)
 
@@ -176,7 +177,23 @@ class ViTAttention(nn.Module):
         kernel_ok = hw % 128 == 0 or hw <= _BLOCK_Q
         lanes_ok = (hw % 128 == 0 and hw > _BLOCK_Q
                     and lanes_kernel_ok(self.num_heads, head_dim, h, w))
-        if _on_tpu() and lanes_ok and self.use_kernel:
+        lanes_short_ok = (hw <= _BLOCK_Q and head_dim == 64
+                          and self.num_heads % 2 == 0)
+        if _on_tpu() and lanes_short_ok and self.use_kernel:
+            # windowed layers: token-major batched lane-sliced kernel — no
+            # slot-major qkv relayout, no head-major output transpose
+            # (those two HBM relayouts were most of the windowed "glue").
+            q4 = qkv[..., :self.dim].reshape(b, h, w, self.num_heads,
+                                             head_dim)
+            rel_h = jnp.einsum("byxnc,ykc->byxnk", q4, rh_table)
+            rel_w = jnp.einsum("byxnc,xkc->byxnk", q4, rw_table)
+            r = (jnp.concatenate([rel_h, rel_w], axis=-1)
+                 * jnp.asarray(_LOG2E, self.dtype))
+            out = flash_attention_relpos_lanes_batched(
+                qkv, r.reshape(b, hw, self.num_heads * (h + w)),
+                scale, (h, w), self.num_heads)
+            out = out.reshape(b, h, w, self.dim)
+        elif _on_tpu() and lanes_ok and self.use_kernel:
             # lane-sliced kernel: reads q/k/v straight out of the
             # TOKEN-MAJOR qkv projection via 128-lane BlockSpec index maps
             # and writes token-major — the packed layout's (B, N, 3*heads,

@@ -709,6 +709,125 @@ def _lanes_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     )(qkv, qkv, qkv, r, e)
 
 
+def _relpos_lanes_batched_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *,
+                                 scale: float, rh_width: int):
+    """Short-sequence (windowed) lane-sliced kernel: one head PAIR, a group
+    of g windows per grid step, every operand token-major. The windowed
+    path previously relayouted the qkv projection to slot-major
+    (B*nW, 3*heads, N, dh) and transposed the head-major output back —
+    both pure HBM relayout; here the BlockSpec lane index maps read the
+    (G, N, 3C) array in place, exactly like the long-sequence lanes
+    kernel, batched over windows."""
+    dh = q_ref.shape[-1] // 2
+    rr = r_ref.shape[-1] // 2
+    q2 = q_ref[...].astype(jnp.float32) * (scale * _LOG2E)  # (g, n, 2*dh)
+    k2 = k_ref[...].astype(jnp.float32)
+    v2 = v_ref[...]
+    r2 = r_ref[0].astype(jnp.float32)                       # (g, n, 2*rr)
+    e = e_ref[...].astype(jnp.float32)                      # (rr, n)
+
+    outs = []
+    for t in (0, 1):
+        q = q2[..., t * dh:(t + 1) * dh]
+        k = k2[..., t * dh:(t + 1) * dh]
+        v = _augment_v(v2[..., t * dh:(t + 1) * dh])
+        r = r2[..., t * rr:(t + 1) * rr]
+        m = _shift_bound(q, k, r, rh_width)                 # (g, n, 1)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            r, e, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - m).astype(v.dtype)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        outs.append(_finish(o, dh, o_ref.dtype))
+    o_ref[...] = jnp.concatenate(outs, axis=-1)             # (g, n, 2*dh)
+
+
+def _lanes_batched_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
+                            grid_hw: Tuple[int, int], heads: int) -> jax.Array:
+    g_total, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    kh, kw = grid_hw
+    rr = kh + kw
+    assert n == kh * kw and dh == 64 and heads % 2 == 0
+    e = _onehot_expand(kh, kw, qkv.dtype)
+    # (G, N, heads*rr) -> pair-major (heads//2, G, N, 2*rr): Pallas requires
+    # the trailing two block dims be full (or 8/128-aligned), and 2*rr = 56
+    # for 14x14 windows — so the pair axis moves OUT instead of lane-slicing.
+    # The minor dim is unchanged, so this transpose is a cheap outer copy.
+    r4 = r.reshape(g_total, n, heads // 2, 2 * rr).transpose(2, 0, 1, 3)
+
+    g = _pick_group(g_total, 2 * n * n)
+    grid = (g_total // g, heads // 2)
+
+    return pl.pallas_call(
+        functools.partial(_relpos_lanes_batched_kernel, scale=scale,
+                          rh_width=kh),
+        out_shape=jax.ShapeDtypeStruct((g_total, n, c), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, 2 * dh),
+                         lambda i, hp, _h=heads // 2: (i, 0, _h + hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, 2 * dh),
+                         lambda i, hp, _h=heads // 2: (i, 0, 2 * _h + hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, n, 2 * rr), lambda i, hp: (hp, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rr, n), lambda i, hp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g_total * heads * n * n * dh
+            + 2 * g_total * heads * n * rr * n,
+            bytes_accessed=(qkv.size + r.size + g_total * n * c)
+            * qkv.dtype.itemsize,
+            transcendentals=g_total * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(qkv, qkv, qkv, r4, e)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def flash_attention_relpos_lanes_batched(qkv, r, scale: float,
+                                         grid_hw: Tuple[int, int], heads: int):
+    """Token-major rel-pos attention for SHORT sequences (ViTDet windows).
+
+    Args:
+      qkv: (G, N, 3C) — windows batch of the qkv Dense output, no relayout;
+        channel layout (3, heads, dh) flattened.
+      r: (G, N, heads*(Kh+Kw)) factored bias, lane-major per head, already
+        multiplied by log2(e).
+
+    Returns (G, N, C) token-major. Requires dh == 64 and even heads (a head
+    pair per 128-lane tile); use flash_attention_relpos_packed otherwise."""
+    return _lanes_batched_fwd_impl(qkv, r, scale, grid_hw, heads)
+
+
+def _lanes_batched_fwd(qkv, r, scale, grid_hw, heads):
+    return _lanes_batched_fwd_impl(qkv, r, scale, grid_hw, heads), (qkv, r)
+
+
+def _lanes_batched_bwd(scale, grid_hw, heads, res, g):
+    qkv, r = res
+    _, vjp = jax.vjp(
+        lambda a, b: _lanes_xla_ref(a, b, scale, grid_hw, heads), qkv, r)
+    return vjp(g)
+
+
+flash_attention_relpos_lanes_batched.defvjp(_lanes_batched_fwd,
+                                            _lanes_batched_bwd)
+
+
 def _lanes_xla_ref(qkv, r, scale, grid_hw, heads):
     """XLA recompute of the lane-layout kernel (backward + CPU fallback)."""
     b, n, c3 = qkv.shape

@@ -164,6 +164,31 @@ def test_flash_relpos_lanes_interpret_matches_xla(grid_hw):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_flash_relpos_lanes_batched_interpret_matches_xla():
+    """Token-major short-sequence (window) lane-sliced kernel vs XLA ref."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    kh = kw = 14
+    g_total, heads, dh = 4, 2, 64
+    n, c = kh * kw, 2 * 64
+    rng = np.random.default_rng(10)
+    qkv = jnp.asarray(
+        rng.standard_normal((g_total, n, 3 * c)).astype(np.float32))
+    r = jnp.asarray(
+        rng.standard_normal((g_total, n, heads * (kh + kw))).astype(
+            np.float32))
+    old = fa._INTERPRET
+    fa._INTERPRET = True
+    try:
+        out = fa.flash_attention_relpos_lanes_batched(
+            qkv, r, dh ** -0.5, (kh, kw), heads)
+    finally:
+        fa._INTERPRET = old
+    ref = fa._lanes_xla_ref(qkv, r, dh ** -0.5, (kh, kw), heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flash_relpos_packed_grad():
     """The packed kernel is differentiable (XLA-recompute VJP)."""
     from labelanything_tpu.ops import flash_attention as fa

@@ -724,20 +724,29 @@ def _relpos_lanes_batched_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *,
     k2 = k_ref[...].astype(jnp.float32)
     v2 = v_ref[...]
     r2 = r_ref[0].astype(jnp.float32)                       # (g, n, 2*rr)
-    e = e_ref[...].astype(jnp.float32)                      # (rr, n)
+    et = e_ref[...].astype(jnp.float32)                     # (n, rr) one-hot
+    g, n = q2.shape[0], q2.shape[1]
 
+    # Bias folded into the score matmul by operand augmentation:
+    #   [q*scale*log2e | r] . [k | onehot(ky)|onehot(kx)]
+    #     = scaled qk + rel_h[q, ky] + rel_w[q, kx]   (both log2e-carrying)
+    # At window shapes the reduction 64+28 = 92 still fits ONE 128-wide MXU
+    # tile, so the separate one-hot bias matmul (2 full passes per
+    # window-head at 28/128 = 22% occupancy) disappears for free. (At
+    # GLOBAL shapes rr = 128 pushes the reduction to 2 tiles — that variant
+    # measured ~15% slower in round 1 and stays out of the long kernels.)
+    eb = jnp.broadcast_to(et[None], (g, n, rr))
     outs = []
     for t in (0, 1):
         q = q2[..., t * dh:(t + 1) * dh]
         k = k2[..., t * dh:(t + 1) * dh]
         v = _augment_v(v2[..., t * dh:(t + 1) * dh])
         r = r2[..., t * rr:(t + 1) * rr]
-        m = _shift_bound(q, k, r, rh_width)                 # (g, n, 1)
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+        qa = jnp.concatenate([q, r], axis=-1)               # (g, n, dh+rr)
+        ka = jnp.concatenate([k, eb], axis=-1)
+        m = _shift_bound(qa, ka)                            # (g, n, 1)
+        s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        s = s + jax.lax.dot_general(
-            r, e, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
         p = jnp.exp2(s - m).astype(v.dtype)
         o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -753,7 +762,9 @@ def _lanes_batched_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     kh, kw = grid_hw
     rr = kh + kw
     assert n == kh * kw and dh == 64 and heads % 2 == 0
-    e = _onehot_expand(kh, kw, qkv.dtype)
+    # transposed one-hot (N, rr): the kernel concatenates it onto k as the
+    # bias-augmentation columns (see _relpos_lanes_batched_kernel)
+    e = _onehot_expand(kh, kw, qkv.dtype).T
     # (G, N, heads*rr) -> pair-major (heads//2, G, N, 2*rr): Pallas requires
     # the trailing two block dims be full (or 8/128-aligned), and 2*rr = 56
     # for 14x14 windows — so the pair axis moves OUT instead of lane-slicing.
@@ -779,7 +790,7 @@ def _lanes_batched_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g, n, 2 * rr), lambda i, hp: (hp, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rr, n), lambda i, hp: (0, 0),
+            pl.BlockSpec((n, rr), lambda i, hp: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),

@@ -427,21 +427,34 @@ def _relpos_kernel_packed_vpu(qkv_q, qkv_k, qkv_v, r_ref, o_ref, *,
 
 
 def _relpos_kernel_packed_batched(qkv_q, qkv_k, qkv_v, r_ref, e_ref, o_ref, *,
-                                  scale: float, rh_width: int):
-    """(G, 1, N, ...) short-window blocks of the packed layout."""
+                                  scale: float, rh_width: int,
+                                  augment: bool = False):
+    """(G, 1, N, ...) short-window blocks of the packed layout. With
+    ``augment`` (dh + rr <= 128) the bias rides the score matmul as
+    operand-augmentation columns (see _relpos_lanes_batched_kernel);
+    e_ref is then the TRANSPOSED (N, rr) one-hot."""
     q = qkv_q[:, 0].astype(jnp.float32) * (scale * _LOG2E)  # (G, N, dh)
     k = qkv_k[:, 0].astype(jnp.float32)
     v = _augment_v(qkv_v[:, 0])
     r = r_ref[:, 0].astype(jnp.float32)                     # (G, N, Kh+Kw)
     e = e_ref[...].astype(jnp.float32)
     d = qkv_v.shape[-1]
-    m = _shift_bound(q, k, r, rh_width)                     # (G, N, 1)
 
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
-    s = s + jax.lax.dot_general(
-        r, e, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if augment:
+        g, n = q.shape[0], q.shape[1]
+        qa = jnp.concatenate([q, r], axis=-1)
+        ka = jnp.concatenate(
+            [k, jnp.broadcast_to(e[None], (g, n, e.shape[-1]))], axis=-1)
+        m = _shift_bound(qa, ka)
+        s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+    else:
+        m = _shift_bound(q, k, r, rh_width)                 # (G, N, 1)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            r, e, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     p = jnp.exp2(s - m).astype(v.dtype)
     o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
@@ -475,9 +488,12 @@ def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     if n <= _BLOCK_Q and n == kh * kw:
         g = _pick_group(b, n * n)  # per-step scores: (g, n, n) for ONE head
         grid = (b // g, heads)
+        augment = dh + rr <= 128
+        if augment:
+            e = e.T  # (n, rr) augmentation columns
         return pl.pallas_call(
             functools.partial(_relpos_kernel_packed_batched, scale=scale,
-                              rh_width=kh),
+                              rh_width=kh, augment=augment),
             out_shape=jax.ShapeDtypeStruct((b, heads, n, dh), qkv.dtype),
             grid=grid,
             in_specs=[
@@ -491,7 +507,7 @@ def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((g, 1, n, rr), lambda i, h: (i, h, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rr, n), lambda i, h: (0, 0),
+                pl.BlockSpec(e.shape, lambda i, h: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((g, 1, n, dh), lambda i, h: (i, h, 0, 0),

@@ -81,6 +81,21 @@ def _pick_block_q(q_len: int) -> int:
     raise ValueError(f"flash attention requires q_len % 128 == 0, got {q_len}")
 
 
+def _pick_blocks_long(q_len: int) -> Tuple[int, int]:
+    """(block_q, block_k) for the long-sequence rel-pos kernels.
+
+    Measured on the ViT-B@1024 global layer (VPU-bias lanes kernel, batch
+    8): (512, 512) 7.60 ms, (1024, 512) 7.01, (1024, 256) 6.63, (1024,
+    1024) 6.79, (2048, 256) 7.02, (256, 512) 10.1 — tall q-blocks amortize
+    the loop-invariant bias tiles and 256-wide k-blocks pipeline best.
+    Falls back to the generic divisor picker for lengths 1024/256 do not
+    divide."""
+    bq = 1024 if q_len % 1024 == 0 and q_len > 1024 else _pick_block_q(q_len)
+    bk = 256 if q_len % 256 == 0 else (_BLOCK_K if q_len % _BLOCK_K == 0
+                                       else q_len)
+    return bq, bk
+
+
 def _pick_group(bh: int, tile_elems: int, budget: int = 2_000_000) -> int:
     """Rows per grid step for the short-sequence batched kernel: small
     windows one-per-step drown in per-matmul latency; batching windows per
@@ -517,9 +532,8 @@ def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
             interpret=_INTERPRET,
         )(qkv, qkv, qkv, r, e)
 
-    block_q = _pick_block_q(n)
+    block_q, block_k = _pick_blocks_long(n)
     assert n % block_q == 0, (n, block_q)
-    block_k = _BLOCK_K if n % _BLOCK_K == 0 else n
     grid = (b, heads, n // block_q)
 
     qkv_specs = [
@@ -663,9 +677,8 @@ def _lanes_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     assert lanes_kernel_ok(heads, dh, kh, kw)
     e = _onehot_expand(kh, kw, qkv.dtype)
 
-    block_q = _pick_block_q(n)
+    block_q, block_k = _pick_blocks_long(n)
     assert n % block_q == 0, (n, block_q)
-    block_k = _BLOCK_K if n % _BLOCK_K == 0 else n
     grid = (b, heads // 2, n // block_q)
 
     qkv_specs = [

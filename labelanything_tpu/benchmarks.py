@@ -311,11 +311,12 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
 
     def run(state, i):
         return train_step(state, batch, gt, jax.random.key(0), 1.0,
-                          apply_update=True)
+                          apply_update=True, use_accum=False)
 
     step_flops = _compiled_flops(
         getattr(train_step, "jitted", train_step), state, batch, gt,
-        jax.random.key(0), 1.0, apply_update=True)
+        jax.random.key(0), loss_scale=1.0, apply_update=True,
+        use_accum=False)
     if device_loop:
         # second, distinct episode batch for the 2-slot input stream
         full2 = jax.tree.map(jnp.asarray, random_full_batch(
@@ -335,7 +336,7 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
                     lambda s: jax.lax.dynamic_index_in_dim(
                         s, i % 2, 0, keepdims=False), stream)
                 st, _ = train_step.raw(st, b, g, jax.random.key(0), 1.0,
-                                       apply_update=True)
+                                       apply_update=True, use_accum=False)
                 return st
             return jax.lax.fori_loop(0, steps, body, state)
 
@@ -521,14 +522,16 @@ def bench_pipeline(batch_size=8, ways=2, shots=1, image_size=480, steps=8,
                 train_step = make_train_step(model, loss, tx)
                 # compile outside the timed region (a real run compiles once)
                 state, aux = train_step(state, batch, gt, jax.random.key(1),
-                                        1.0, apply_update=True)
+                                        1.0, apply_update=True,
+                                        use_accum=False)
                 assert np.isfinite(float(aux["loss"]))
                 t_start = time.perf_counter()
                 t_wait = 0.0
                 continue
             t0 = time.perf_counter()
-            state, aux = train_step(state, batch, gt, jax.random.key(n_steps),
-                                    1.0, apply_update=True)
+            state, aux = train_step(state, batch, gt,
+                                    jax.random.key(n_steps), 1.0,
+                                    apply_update=True, use_accum=False)
             ok = np.isfinite(float(aux["loss"]))  # per-step sync
             t_dev += time.perf_counter() - t0
             assert ok, "non-finite loss in pipeline bench"

@@ -330,7 +330,8 @@ class Run:
             try:
                 estimate_step_memory(
                     lambda s, b, g, r: self.train_step(
-                        s, b, g, r, 1.0, apply_update=True),
+                        s, b, g, r, 1.0, apply_update=True,
+                        use_accum=False),
                     self.state, input_dict, gt, jax.random.key(0))
             except Exception as exc:  # preflight is advisory, never fatal
                 logger.warning("memory preflight unavailable: %s", exc)
@@ -408,11 +409,15 @@ class Run:
                 if self.state is None:
                     self._lazy_init(input_dict, gt)
                 apply_update = (not accumulate) or i == n_passes - 1
+                # the accum tree is only populated when substitution actually
+                # accumulated earlier passes; single-pass steps take the
+                # no-accum fast path (donated accum passes through untouched)
+                use_accum = accumulate and n_passes > 1
                 rng = jax.random.key(int(epoch_rng.integers(2**31)))
                 self.state, aux = self.train_step(
                     self.state, input_dict,
                     jax.device_put(gt, self.data_sharding), rng, loss_scale,
-                    apply_update=apply_update,
+                    apply_update=apply_update, use_accum=use_accum,
                 )
                 loss_val = float(aux["loss"])
                 if check_nan and not np.isfinite(loss_val):

@@ -71,24 +71,34 @@ def make_train_step(
         loss_out = loss_module.apply(params["loss"], result, gt)
         return loss_out[LossDict.VALUE], (loss_out[LossDict.COMPONENTS], result)
 
-    def step_fn(state: TrainState, batch, gt, rng, loss_scale, *, apply_update: bool):
+    def step_fn(state: TrainState, batch, gt, rng, loss_scale, *,
+                apply_update: bool, use_accum: bool = True):
+        # loss_scale and use_accum are STATIC: the scale multiply is elided
+        # when 1.0 and the single-pass (no-substitution) step skips the
+        # accum-tree read/add/zero entirely — the donated accum buffer
+        # passes through untouched (it is already zeros).
         (loss, (components, result)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, batch, gt, rng)
-        grads = jax.tree.map(lambda g: g * loss_scale, grads)
-        accum = jax.tree.map(jnp.add, state.accum, grads)
+        if loss_scale != 1.0:
+            grads = jax.tree.map(lambda g: g * loss_scale, grads)
 
         if apply_update:
-            updates, opt_state = tx.update(accum, state.opt_state, state.params)
+            total = (jax.tree.map(jnp.add, state.accum, grads)
+                     if use_accum else grads)
+            updates, opt_state = tx.update(total, state.opt_state,
+                                           state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
                 params=params,
                 opt_state=opt_state,
-                accum=jax.tree.map(jnp.zeros_like, accum),
+                accum=(jax.tree.map(jnp.zeros_like, total)
+                       if use_accum else state.accum),
                 step=state.step + 1,
             )
         else:
-            new_state = state._replace(accum=accum)
+            new_state = state._replace(
+                accum=jax.tree.map(jnp.add, state.accum, grads))
 
         logits = result[ResultDict.LOGITS]
         preds = jnp.argmax(logits, axis=1)
@@ -103,13 +113,17 @@ def make_train_step(
         return new_state, aux
 
     if mesh is None:
-        jitted = jax.jit(step_fn, static_argnames=("apply_update",),
+        jitted = jax.jit(step_fn,
+                         static_argnames=("loss_scale", "apply_update",
+                                          "use_accum"),
                          donate_argnums=(0,))
 
         def train_step_local(state, batch, gt, rng, loss_scale, *,
-                             apply_update: bool = True):
-            return jitted(state, batch, gt, rng, loss_scale,
-                          apply_update=apply_update)
+                             apply_update: bool = True,
+                             use_accum: bool = True):
+            return jitted(state, batch, gt, rng,
+                          loss_scale=float(loss_scale),
+                          apply_update=apply_update, use_accum=use_accum)
 
         # raw (unjitted) step for callers that embed it in a larger jitted
         # program (e.g. the bench's single-dispatch fori_loop mode); the
@@ -119,7 +133,8 @@ def make_train_step(
         return train_step_local
 
     # pjit rejects kwargs when in_shardings is given -> one compiled callable
-    # per static apply_update value, dispatched by a thin wrapper.
+    # per static (apply_update, use_accum, loss_scale) combo, dispatched by
+    # a thin wrapper (loss_scale values are few: 1.0 and 1/n_passes).
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     # state_shardings (a TrainState-shaped pytree of NamedShardings, see
@@ -127,18 +142,21 @@ def make_train_step(
     # over the mesh's "model" axis; default = fully replicated (pure DP).
     state_sh = state_shardings if state_shardings is not None else repl
 
-    def make(apply_update: bool):
+    @functools.lru_cache(maxsize=None)
+    def make(apply_update: bool, use_accum: bool, loss_scale: float):
         return jax.jit(
-            functools.partial(step_fn, apply_update=apply_update),
+            functools.partial(step_fn, loss_scale=loss_scale,
+                              apply_update=apply_update,
+                              use_accum=use_accum),
             donate_argnums=(0,),
-            in_shardings=(state_sh, data, data, repl, repl),
+            in_shardings=(state_sh, data, data, repl),
             out_shardings=(state_sh, repl),
         )
 
-    compiled = {True: make(True), False: make(False)}
-
-    def train_step(state, batch, gt, rng, loss_scale, *, apply_update: bool = True):
-        return compiled[apply_update](state, batch, gt, rng, loss_scale)
+    def train_step(state, batch, gt, rng, loss_scale, *,
+                   apply_update: bool = True, use_accum: bool = True):
+        fn = make(apply_update, use_accum, float(loss_scale))
+        return fn(state, batch, gt, rng)
 
     return train_step
 

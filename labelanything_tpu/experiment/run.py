@@ -320,8 +320,18 @@ class Run:
             schedule_div=schedule_div,
         )
         self.state = init_train_state(params, self.tx)
+        state_sh = None
+        if tp.get("zero1", False):
+            # ZeRO-1: shard AdamW moments + the grad accumulator over the
+            # data axis (reference contrast: DDP replicates them,
+            # experiment/run.py:122-131); see parallel/zero.py
+            from ..parallel.zero import place_state, zero1_state_shardings
+
+            state_sh = zero1_state_shardings(self.state, self.mesh)
+            self.state = place_state(self.state, state_sh)
         self.train_step = make_train_step(self.model, self.loss, self.tx,
-                                          mesh=self.mesh)
+                                          mesh=self.mesh,
+                                          state_shardings=state_sh)
         if tp.get("memory_preflight", True):
             # fail fast on OOM before the first real step (reference:
             # allocate_memory, experiment/utils.py:181-207)
@@ -338,8 +348,13 @@ class Run:
         # resume if a checkpoint exists
         restored, meta = self.checkpoints.restore(self.state, "latest")
         if restored is not None:
-            self.state = jax.device_put(
-                restored, NamedSharding(self.mesh, P()))
+            if state_sh is not None:
+                from ..parallel.zero import place_state
+
+                self.state = place_state(restored, state_sh)
+            else:
+                self.state = jax.device_put(
+                    restored, NamedSharding(self.mesh, P()))
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             logger.info("resumed from epoch %d", self.start_epoch)
         else:

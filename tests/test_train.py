@@ -267,6 +267,69 @@ def test_tensor_parallel_train_step_matches_replicated():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_zero1_train_step_matches_replicated():
+    """ZeRO-1 optimizer-state sharding (parallel/zero.py): sharding the
+    AdamW moments + grad accumulator over the data axis must reproduce the
+    replicated step's loss and updated params bit-for-bit (the collectives
+    XLA inserts are exact rearrangements), including a 2-pass substitution
+    accumulation so the sharded accumulator path is exercised."""
+    from labelanything_tpu.parallel.zero import (place_state,
+                                                 zero1_state_shardings)
+
+    model = tiny_model()
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}})
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=8, num_examples=1, num_classes=C,
+        image_size=IMAGE_SIZE, embed_dim=32,
+    ))
+    sub = Substitutor(num_points=1, substitute=False)
+    sub.reset(full)
+    input_dict, gt = next(sub)
+
+    params_model = jax.jit(model.init)(jax.random.key(0), input_dict)
+    dummy_result = {
+        ResultDict.LOGITS: jnp.zeros((8, C, IMAGE_SIZE, IMAGE_SIZE)),
+        ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros((8, 1, C, 32)),
+        BatchKeys.FLAG_EXAMPLES: input_dict[BatchKeys.FLAG_EXAMPLES],
+    }
+    params = {"model": params_model,
+              "loss": loss.init(jax.random.key(1), dummy_result, gt)}
+    tx = build_optimizer(params, name="AdamW", learning_rate=1e-3)
+    mesh = create_mesh()
+
+    results = {}
+    for name in ("replicated", "zero1"):
+        state = init_train_state(jax.tree.map(jnp.array, params), tx)
+        if name == "zero1":
+            shardings = zero1_state_shardings(state, mesh)
+            specs = [s.spec for s in jax.tree.leaves(shardings.opt_state)]
+            assert any(s != P() for s in specs), "no ZeRO-sharded leaves"
+            state = place_state(state, shardings)
+            step = make_train_step(model, loss, tx, mesh=mesh,
+                                   state_shardings=shardings)
+        else:
+            step = make_train_step(model, loss, tx, mesh=mesh)
+        batch_sh = shard_batch(input_dict, mesh)
+        gt_sh = jax.device_put(gt, NamedSharding(mesh, P("data")))
+        # pass 1 accumulates, pass 2 applies with the sharded accumulator
+        state, _ = step(state, batch_sh, gt_sh, jax.random.key(2), 0.5,
+                        apply_update=False)
+        state, aux = step(state, batch_sh, gt_sh, jax.random.key(3), 0.5,
+                          apply_update=True, use_accum=True)
+        results[name] = (
+            float(aux["loss"]),
+            np.asarray(jax.device_get(
+                state.params["model"]["params"]["mask_decoder"]
+                ["transformer"]["layers_0"]["mlp"]["lin1"]["kernel"])),
+        )
+
+    np.testing.assert_allclose(results["zero1"][0],
+                               results["replicated"][0], rtol=1e-6)
+    np.testing.assert_allclose(results["zero1"][1],
+                               results["replicated"][1], rtol=1e-6,
+                               atol=1e-7)
+
+
 def test_tensor_parallel_vit_matches_replicated():
     """TP numerics on the images path: a (4, 2) dp x tp train step of a
     lam with a tiny SAM ViT (use_kernel=False — Pallas custom calls are not

@@ -397,7 +397,7 @@ def test_validate_reruns_seed_protocol(canonical_coco_root, monkeypatch):
     per_run_values = iter([0.2, 0.4, 0.9])
     monkeypatch.setattr(
         run_mod.Run, "_validate_one",
-        lambda self, ldr, name: {"miou": next(per_run_values)})
+        lambda self, ldr, name, epoch=None: {"miou": next(per_run_values)})
     results = run.validate(epoch=0)
     assert seen_seeds == [42, 43, 44]
     assert abs(results["val_coco_miou"] - 0.5) < 1e-9

@@ -330,7 +330,56 @@ def test_zero1_train_step_matches_replicated():
                                atol=1e-7)
 
 
-def test_tensor_parallel_vit_matches_replicated():
+def test_zero1_compose_with_tp_specs():
+    """compose() overlays ZeRO data-axis specs with Megatron model-axis
+    specs: TP-sharded leaves keep P over "model", everything else gets the
+    ZeRO spec."""
+    from labelanything_tpu.parallel import tp
+    from labelanything_tpu.parallel.zero import (compose,
+                                                 zero1_state_shardings)
+
+    model = tiny_model()
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}})
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=8, num_examples=1, num_classes=C,
+        image_size=IMAGE_SIZE, embed_dim=32,
+    ))
+    sub = Substitutor(num_points=1, substitute=False)
+    sub.reset(full)
+    input_dict, gt = next(sub)
+    params_model = jax.jit(model.init)(jax.random.key(0), input_dict)
+    dummy_result = {
+        ResultDict.LOGITS: jnp.zeros((8, C, IMAGE_SIZE, IMAGE_SIZE)),
+        ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros((8, 1, C, 32)),
+        BatchKeys.FLAG_EXAMPLES: input_dict[BatchKeys.FLAG_EXAMPLES],
+    }
+    params = {"model": params_model,
+              "loss": loss.init(jax.random.key(1), dummy_result, gt)}
+    tx = build_optimizer(params, name="AdamW", learning_rate=1e-3)
+    mesh = create_mesh(data=4, model=2)
+    state = init_train_state(params, tx)
+
+    tp_sh = tp.state_shardings(state, mesh)
+    zero_sh = zero1_state_shardings(state, mesh)
+    combined = compose(zero_sh, tp_sh)
+
+    def axes(sharding):
+        return {ax for part in sharding.spec if part
+                for ax in ((part,) if isinstance(part, str) else part)}
+
+    tp_leaves = jax.tree.leaves(tp_sh)
+    combined_leaves = jax.tree.leaves(combined)
+    zero_leaves = jax.tree.leaves(zero_sh)
+    n_model = n_data = 0
+    for t, z, comb in zip(tp_leaves, zero_leaves, combined_leaves):
+        if t.spec != P():
+            assert comb.spec == t.spec  # TP wins
+            n_model += 1
+        else:
+            assert comb.spec == z.spec  # ZeRO fills the rest
+            if "data" in axes(z):
+                n_data += 1
+    assert n_model > 0 and n_data > 0
     """TP numerics on the images path: a (4, 2) dp x tp train step of a
     lam with a tiny SAM ViT (use_kernel=False — Pallas custom calls are not
     GSPMD-partitionable) reproduces the (8, 1) replicated loss."""

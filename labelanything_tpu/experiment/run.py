@@ -338,10 +338,13 @@ class Run:
             from ..utils.profiling import estimate_step_memory
 
             try:
+                # estimate the WORST-CASE program: the accumulating final
+                # pass (use_accum=True) peaks strictly higher than the
+                # no-accum fast path, so a passing preflight covers both
                 estimate_step_memory(
                     lambda s, b, g, r: self.train_step(
                         s, b, g, r, 1.0, apply_update=True,
-                        use_accum=False),
+                        use_accum=True),
                     self.state, input_dict, gt, jax.random.key(0))
             except Exception as exc:  # preflight is advisory, never fatal
                 logger.warning("memory preflight unavailable: %s", exc)

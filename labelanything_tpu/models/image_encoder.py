@@ -179,33 +179,22 @@ class ViTAttention(nn.Module):
                     and lanes_kernel_ok(self.num_heads, head_dim, h, w))
         lanes_short_ok = (hw <= _BLOCK_Q and head_dim == 64
                           and self.num_heads % 2 == 0)
-        if _on_tpu() and lanes_short_ok and self.use_kernel:
-            # windowed layers: token-major batched lane-sliced kernel — no
-            # slot-major qkv relayout, no head-major output transpose
-            # (those two HBM relayouts were most of the windowed "glue").
+        if _on_tpu() and (lanes_short_ok or lanes_ok) and self.use_kernel:
+            # token-major lane-sliced kernels: q/k/v read straight out of
+            # the qkv projection via 128-lane head-pair BlockSpec index
+            # maps, output written token-major — the slot-major relayout
+            # (~150 MB for ViT-B @1024 batch 8) and the head-major output
+            # transpose both disappear. Short (windowed) sequences use the
+            # window-batched variant, long (global) ones the blocked one.
             q4 = qkv[..., :self.dim].reshape(b, h, w, self.num_heads,
                                              head_dim)
             rel_h = jnp.einsum("byxnc,ykc->byxnk", q4, rh_table)
             rel_w = jnp.einsum("byxnc,xkc->byxnk", q4, rw_table)
             r = (jnp.concatenate([rel_h, rel_w], axis=-1)
                  * jnp.asarray(_LOG2E, self.dtype))
-            out = flash_attention_relpos_lanes_batched(
-                qkv, r.reshape(b, hw, self.num_heads * (h + w)),
-                scale, (h, w), self.num_heads)
-            out = out.reshape(b, h, w, self.dim)
-        elif _on_tpu() and lanes_ok and self.use_kernel:
-            # lane-sliced kernel: reads q/k/v straight out of the
-            # TOKEN-MAJOR qkv projection via 128-lane BlockSpec index maps
-            # and writes token-major — the packed layout's (B, N, 3*heads,
-            # dh) -> slot-major relayout (~150 MB for ViT-B @1024 batch 8)
-            # and the head-major output transpose both disappear.
-            q4 = qkv[..., :self.dim].reshape(b, h, w, self.num_heads,
-                                             head_dim)
-            rel_h = jnp.einsum("byxnc,ykc->byxnk", q4, rh_table)
-            rel_w = jnp.einsum("byxnc,xkc->byxnk", q4, rw_table)
-            r = (jnp.concatenate([rel_h, rel_w], axis=-1)
-                 * jnp.asarray(_LOG2E, self.dtype))
-            out = flash_attention_relpos_lanes(
+            lanes_fn = (flash_attention_relpos_lanes_batched
+                        if lanes_short_ok else flash_attention_relpos_lanes)
+            out = lanes_fn(
                 qkv, r.reshape(b, hw, self.num_heads * (h + w)),
                 scale, (h, w), self.num_heads)
             out = out.reshape(b, h, w, self.dim)

@@ -91,8 +91,7 @@ def _pick_blocks_long(q_len: int) -> Tuple[int, int]:
     Falls back to the generic divisor picker for lengths 1024/256 do not
     divide."""
     bq = 1024 if q_len % 1024 == 0 and q_len > 1024 else _pick_block_q(q_len)
-    bk = 256 if q_len % 256 == 0 else (_BLOCK_K if q_len % _BLOCK_K == 0
-                                       else q_len)
+    bk = 256 if q_len % 256 == 0 else q_len
     return bq, bk
 
 
@@ -739,7 +738,7 @@ def _lanes_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
 
 
 def _relpos_lanes_batched_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, o_ref, *,
-                                 scale: float, rh_width: int):
+                                 scale: float):
     """Short-sequence (windowed) lane-sliced kernel: one head PAIR, a group
     of g windows per grid step, every operand token-major. The windowed
     path previously relayouted the qkv projection to slot-major
@@ -804,8 +803,7 @@ def _lanes_batched_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     grid = (g_total // g, heads // 2)
 
     return pl.pallas_call(
-        functools.partial(_relpos_lanes_batched_kernel, scale=scale,
-                          rh_width=kh),
+        functools.partial(_relpos_lanes_batched_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((g_total, n, c), qkv.dtype),
         grid=grid,
         in_specs=[

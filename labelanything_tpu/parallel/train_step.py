@@ -77,6 +77,11 @@ def make_train_step(
         # when 1.0 and the single-pass (no-substitution) step skips the
         # accum-tree read/add/zero entirely — the donated accum buffer
         # passes through untouched (it is already zeros).
+        # CAVEAT: every distinct loss_scale float is a separate compile,
+        # cached forever. The substitution loop yields one value per
+        # n_passes bucket (1/(gts.shape[1]+1) — bounded by the batch
+        # schedule's shot counts); do NOT feed a continuously-varying
+        # scale (e.g. dynamic loss scaling) through this argument.
         (loss, (components, result)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, batch, gt, rng)

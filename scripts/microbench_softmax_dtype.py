@@ -23,6 +23,12 @@ Variants:
      bias = concat_8(rw) (loop-invariant, fold -m in) + per-row scalar
      broadcasts of rh columns. Eliminates 1 of the 3 MXU passes per
      score tile (QK / bias / PV -> QK / PV).
+     MEASURED: 8.9 -> 7.9 ms; now the production path (_bias_loop_vpu).
+  f. mode e + bf16 VPU score tiles (cast s after the fp32-accum matmul,
+     bf16 rh/rww). MEASURED: 9.7 ms — SLOWER than fp32 tiles; rejected.
+
+main() runs modes (a, e, f); the b/c/d bodies are kept for the record but
+are no longer in the default sweep (re-add to the mode tuples to rerun).
 """
 
 from __future__ import annotations

@@ -380,6 +380,9 @@ def test_zero1_compose_with_tp_specs():
             if "data" in axes(z):
                 n_data += 1
     assert n_model > 0 and n_data > 0
+
+
+def test_tensor_parallel_vit_matches_replicated():
     """TP numerics on the images path: a (4, 2) dp x tp train step of a
     lam with a tiny SAM ViT (use_kernel=False — Pallas custom calls are not
     GSPMD-partitionable) reproduces the (8, 1) replicated loss."""

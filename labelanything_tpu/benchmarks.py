@@ -475,6 +475,10 @@ def bench_pipeline(batch_size=8, ways=2, shots=1, image_size=480, steps=8,
         spatial_convs=3, class_encoder={"name": "RandomMatrixEncoder",
                                         "bank_size": 100},
         dtype=jnp.bfloat16,
+        # MUST match the dataset's custom_preprocess above: with plain
+        # square-resize data the whole frame is valid — an aspect-preserving
+        # model would -inf-mask real foreground pixels (infinite focal CE)
+        custom_preprocess=False,
     )
     loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}},
                              class_weighting=True)

@@ -210,7 +210,24 @@ class Run:
 
         # model + loss (parameters initialized lazily on the first batch)
         model_name = self.model_params.pop("name")
-        self.model = model_registry[model_name](**self.model_params)
+        # the model's postprocess unpad semantics MUST match the dataset
+        # preprocessing: with square-resize data (custom_preprocess False,
+        # the canonical mae.yaml) an aspect-preserving model -inf-masks
+        # real foreground pixels -> infinite focal CE (reference forwards
+        # the same flag: experiment/run.py:147-151)
+        builder = model_registry[model_name]
+        if "custom_preprocess" not in self.model_params:
+            cp = (self.dataset_params.get("common", {})
+                  .get("custom_preprocess", True))
+            try:
+                self.model = builder(custom_preprocess=cp,
+                                     **self.model_params)
+            except TypeError:
+                # builder/model without the flag (baselines, encoders) —
+                # any other bad kwarg still raises on the retry below
+                self.model = builder(**self.model_params)
+        else:
+            self.model = builder(**self.model_params)
         loss_params = dict(self.train_params.get("loss", {}))
         self.loss = LabelAnythingLoss(
             components=loss_params.get("components", {"focal": {"weight": 1.0}}),

@@ -358,6 +358,34 @@ def test_full_validation_protocol_equivalence(canonical_coco_root,
 # 3. reruns seed protocol
 # --------------------------------------------------------------------- #
 
+def test_run_forwards_custom_preprocess_to_model(canonical_coco_root,
+                                                 monkeypatch):
+    """The model's postprocess unpad semantics must match the dataset
+    preprocessing (reference forwards the flag: experiment/run.py:147-151).
+    A square-resize dataset (custom_preprocess False — the canonical
+    mae.yaml) paired with an aspect-preserving model -inf-masks REAL
+    foreground pixels, which is an infinite focal CE on non-square
+    images (the pipeline-bench NaN this guards against)."""
+    from labelanything_tpu.experiment import run as run_mod
+    from labelanything_tpu.parallel.mesh import create_mesh
+
+    monkeypatch.setattr(
+        run_mod, "create_mesh",
+        lambda **kw: create_mesh(devices=jax.devices()[:1]))
+
+    cfg = _run_config(canonical_coco_root, 8)
+    cfg["dataset"]["common"]["custom_preprocess"] = False
+    run = run_mod.Run().init(cfg, run_dir=str(canonical_coco_root / "run3"))
+    assert run.model.custom_preprocess is False
+    run.close()
+
+    cfg = _run_config(canonical_coco_root, 8)
+    cfg["dataset"]["common"]["custom_preprocess"] = True
+    run = run_mod.Run().init(cfg, run_dir=str(canonical_coco_root / "run4"))
+    assert run.model.custom_preprocess is True
+    run.close()
+
+
 def test_validate_reruns_seed_protocol(canonical_coco_root, monkeypatch):
     from labelanything_tpu.experiment import run as run_mod
     from labelanything_tpu.parallel.mesh import create_mesh

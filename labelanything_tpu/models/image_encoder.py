@@ -297,25 +297,57 @@ class ViTAttention(nn.Module):
         use_kernel = (self.use_kernel and (_on_tpu() or fa._INTERPRET)
                       and (hw % 128 == 0 or hw <= fa._BLOCK_Q))
 
+        # token-major lanes kernels on the LOCAL heads (mirrors the non-TP
+        # branch selection): short windowed sequences use the batched
+        # variant, long global ones the blocked one; geometries the lane
+        # layout cannot tile (odd local heads, dh != 64) keep the packed
+        # path. The (lh, 3, dh) -> (3, lh, dh) channel reorder happens on
+        # the WEIGHT, so the qkv activation is produced token-major and
+        # never relayouts.
+        lc = lh * dh
+        lanes_short_ok = (hw <= fa._BLOCK_Q and dh == 64 and lh % 2 == 0)
+        lanes_long_ok = (hw % 128 == 0 and hw > fa._BLOCK_Q
+                         and fa.lanes_kernel_ok(lh, dh, h, w))
+        use_lanes = use_kernel and (lanes_short_ok or lanes_long_ok)
+
         def local_attn(xl, w_l, b_l, wp_l, rh, rw):
             bl = xl.shape[0]
-            qkv = jnp.dot(xl.reshape(bl * hw, c), w_l) + b_l
-            qkv5 = qkv.reshape(bl, hw, lh, 3, dh)
-            packed = qkv5.transpose(0, 3, 2, 1, 4).reshape(
-                bl, 3 * lh, hw, dh)                  # local slot-major
-            q5 = packed[:, :lh].reshape(bl, lh, h, w, dh)
-            rel_h = jnp.einsum("bnyxc,ykc->bnyxk", q5, rh)
-            rel_w = jnp.einsum("bnyxc,xkc->bnyxk", q5, rw)
-            r = jnp.concatenate([
-                rel_h.reshape(bl, lh, hw, h),
-                rel_w.reshape(bl, lh, hw, w),
-            ], axis=-1) * jnp.asarray(fa._LOG2E, self.dtype)
-            if use_kernel:
-                out4 = fa.flash_attention_relpos_packed(
-                    packed, r, scale, (h, w), lh)
+            if use_lanes:
+                w_tm = (w_l.reshape(c, lh, 3, dh).transpose(0, 2, 1, 3)
+                        .reshape(c, 3 * lc))
+                b_tm = (b_l.reshape(lh, 3, dh).transpose(1, 0, 2)
+                        .reshape(3 * lc))
+                qkv_tm = (jnp.dot(xl.reshape(bl * hw, c), w_tm) + b_tm
+                          ).reshape(bl, hw, 3 * lc)
+                q4 = qkv_tm[..., :lc].reshape(bl, h, w, lh, dh)
+                rel_h = jnp.einsum("byxnc,ykc->byxnk", q4, rh)
+                rel_w = jnp.einsum("byxnc,xkc->byxnk", q4, rw)
+                r = (jnp.concatenate([rel_h, rel_w], axis=-1)
+                     * jnp.asarray(fa._LOG2E, self.dtype))
+                lanes_fn = (fa.flash_attention_relpos_lanes_batched
+                            if lanes_short_ok
+                            else fa.flash_attention_relpos_lanes)
+                att = lanes_fn(
+                    qkv_tm, r.reshape(bl, hw, lh * (h + w)), scale,
+                    (h, w), lh).reshape(bl * hw, lc)
             else:
-                out4 = fa._packed_xla_ref(packed, r, scale, (h, w), lh)
-            att = out4.transpose(0, 2, 1, 3).reshape(bl * hw, lh * dh)
+                qkv = jnp.dot(xl.reshape(bl * hw, c), w_l) + b_l
+                qkv5 = qkv.reshape(bl, hw, lh, 3, dh)
+                packed = qkv5.transpose(0, 3, 2, 1, 4).reshape(
+                    bl, 3 * lh, hw, dh)              # local slot-major
+                q5 = packed[:, :lh].reshape(bl, lh, h, w, dh)
+                rel_h = jnp.einsum("bnyxc,ykc->bnyxk", q5, rh)
+                rel_w = jnp.einsum("bnyxc,xkc->bnyxk", q5, rw)
+                r = jnp.concatenate([
+                    rel_h.reshape(bl, lh, hw, h),
+                    rel_w.reshape(bl, lh, hw, w),
+                ], axis=-1) * jnp.asarray(fa._LOG2E, self.dtype)
+                if use_kernel:
+                    out4 = fa.flash_attention_relpos_packed(
+                        packed, r, scale, (h, w), lh)
+                else:
+                    out4 = fa._packed_xla_ref(packed, r, scale, (h, w), lh)
+                att = out4.transpose(0, 2, 1, 3).reshape(bl * hw, lh * dh)
             partial = jnp.dot(att, wp_l)             # row-parallel partial
             return jax.lax.psum(partial, "model").reshape(bl, h, w, c)
 

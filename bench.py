@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--device-loop", action="store_true",
                     help="decode mode: all steps in one jitted fori_loop "
                          "(pure device throughput, no per-step dispatch)")
+    ap.add_argument("--no-masks", action="store_true",
+                    help="decode mode: points/boxes-only episodes (the demo/"
+                         "serving common case; engages the rank-1 shared-keys"
+                         " fusion fast path)")
     ap.add_argument("--tp", action="store_true",
                     help="vit mode: head-sharded shard_map attention path")
     ap.add_argument("--images-path", action="store_true",
@@ -57,6 +61,8 @@ def main():
         kw["tp"] = True
     if args.device_loop and args.mode in ("decode", "train"):
         kw["device_loop"] = True
+    if args.no_masks and args.mode == "decode":
+        kw["include_masks"] = False
     if args.mode == "pipeline":
         if args.workers:
             kw["num_workers"] = args.workers

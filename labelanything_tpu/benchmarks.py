@@ -177,14 +177,18 @@ def bench_vit(batch_size=8, image_size=1024, steps=8, reps=3,
 
 
 def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
-                 reps=3, device_loop=False):
+                 reps=3, device_loop=False, include_masks=True):
     """Episode decoding throughput.
 
     Default mode dispatches one step per call (includes the host dispatch
     overhead — on the tunneled dev setup that is ~2-3 ms/step and dominates;
     production serving has none). ``device_loop=True`` runs every step
     inside ONE jitted fori_loop — a single dispatch per rep — measuring
-    pure on-device throughput, representative of a pipelined server."""
+    pure on-device throughput, representative of a pipelined server.
+
+    ``include_masks=False`` benches points/boxes-only episodes (the
+    interactive-serving common case), which engage the rank-1 shared-keys
+    fusion fast path (ops/twoway_blockdiag.py)."""
     from labelanything_tpu.data.synthetic import random_batch
     from labelanything_tpu.models.build_lam import build_lam_no_vit
     from labelanything_tpu.typing import BatchKeys, ResultDict
@@ -203,6 +207,7 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
     batches = [jax.tree.map(jnp.asarray, random_batch(
         batch_size=batch_size, num_examples=shots, num_classes=ways + 1,
         image_size=image_size, embed_dim=768, seed=s,
+        include_masks=include_masks,
     )) for s in (0, 1)]
     stream = jax.tree.map(lambda a, b: jnp.stack([a, b]), *batches)
     params = jax.jit(model.init)(jax.random.key(0), batches[0])
@@ -238,6 +243,8 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
             return carry
 
         suffix = ""
+    if not include_masks:
+        suffix = ", no-masks" + suffix
 
     assert np.isfinite(float(run_rep()[1])), "non-finite warmup output"
     times = []

@@ -17,6 +17,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -26,7 +27,7 @@ from flax import linen as nn
 from ..ops.resize import adaptive_avg_pool, resize_bilinear
 from ..typing import BatchKeys, Label, ResultDict
 from .common import Attention, AttentionMLPBlock, LayerNorm2d
-from .transformer import OneWayAttentionBlock
+from .transformer import OneWayAttentionBlock, TwoWayTransformer
 
 
 class PositionEmbeddingRandom(nn.Module):
@@ -524,6 +525,29 @@ class PromptImageEncoder(nn.Module):
         )
         return keys.reshape(b * m * c, h, w, d)
 
+    def apply_transformer_shared(self, src_base, pos_src, sparse_embeddings,
+                                 shift, *, deterministic=True):
+        """Shared-keys fast path: the per-(example, class) image operand is
+        ``src_base[b, m] + shift[b, m, c]`` with a spatially UNIFORM shift
+        (no mask prompts: dense = no_mask_embed + class-bank row). The
+        transformer exploits the rank-1 structure so layer 1's image-side
+        work runs per (b, m) instead of per (b, m, c) — exact by linearity
+        (the reference instead chunks this axis for memory,
+        reference: prompt_encoder.py:677-694).
+
+        src_base: (B, M, h, w, D); sparse: (B, M, C, N, D); shift: (B, M, C, D).
+        Returns fused (B*M*C, h, w, D)."""
+        b, m, c, n, d = sparse_embeddings.shape
+        h, w = src_base.shape[2:4]
+        src = src_base.reshape(b * m, h, w, d)
+        sparse = sparse_embeddings.reshape(b * m * c, n, d)
+        _, keys = self.transformer(
+            src, pos_src, sparse,
+            image_shift=shift.reshape(b * m * c, d),
+            deterministic=deterministic,
+        )
+        return keys.reshape(b * m * c, h, w, d)
+
     def prompt_class_information_merge(self, embeddings, flag_examples, *, deterministic=True):
         """Class/example token mixing (reference: prompt_encoder.py:696-717).
 
@@ -604,24 +628,50 @@ class PromptImageEncoder(nn.Module):
     ) -> dict:
         sparse, dense = self.embed_points_masks(points, boxes, masks)
         b, m, c = dense.shape[:3]
-
-        if image_embeddings.shape[2:4] != dense.shape[3:5]:
-            dense = resize_bilinear(
-                dense.reshape((-1,) + dense.shape[3:]),
-                image_embeddings.shape[2:4],
-                spatial_axes=(1, 2),
-            ).reshape(dense.shape[:3] + image_embeddings.shape[2:4] + dense.shape[-1:])
-
-        if self.use_support_features:
-            src = image_embeddings[:, :, None] + dense  # (B, M, C, h, w, D)
-        else:
-            src = dense
         pos_src = self.get_dense_pe()  # (1, h, w, D)
 
-        dense_enc, sparse_enc = self.class_encoder(src, sparse)
-        src = self.apply_transformer(
-            dense_enc, pos_src, sparse_enc, deterministic=deterministic
+        # shared-keys fast path: with no mask prompts the dense embedding is
+        # spatially uniform (no_mask_embed) and Random/Identity class encoders
+        # only add a uniform (C, D) row, so the image operand is
+        # base[b, m] + u[b, m, c] — a rank-1 structure the blockdiag
+        # transformer exploits exactly (ops/twoway_blockdiag.py)
+        uniform_dense = (
+            masks is None
+            and self.use_support_features
+            and isinstance(self.transformer, TwoWayTransformer)
+            and isinstance(self.class_encoder,
+                           (RandomMatrixEncoder, IdentityClassEncoder))
+            and not os.environ.get("LA_TPU_DISABLE_SHARED_KEYS")
         )
+        if uniform_dense:
+            proxy = jnp.broadcast_to(
+                self.no_mask_embed[0][None, None, None, None, None],
+                (b, m, c, 1, 1, self.embed_dim),
+            )
+            shift_enc, sparse_enc = self.class_encoder(proxy, sparse)
+            src = self.apply_transformer_shared(
+                image_embeddings, pos_src,
+                sparse_enc, shift_enc[:, :, :, 0, 0, :],
+                deterministic=deterministic,
+            )
+        else:
+            if image_embeddings.shape[2:4] != dense.shape[3:5]:
+                dense = resize_bilinear(
+                    dense.reshape((-1,) + dense.shape[3:]),
+                    image_embeddings.shape[2:4],
+                    spatial_axes=(1, 2),
+                ).reshape(dense.shape[:3] + image_embeddings.shape[2:4]
+                          + dense.shape[-1:])
+
+            if self.use_support_features:
+                src = image_embeddings[:, :, None] + dense  # (B, M, C, h, w, D)
+            else:
+                src = dense
+
+            dense_enc, sparse_enc = self.class_encoder(src, sparse)
+            src = self.apply_transformer(
+                dense_enc, pos_src, sparse_enc, deterministic=deterministic
+            )
 
         if not self.use_support_features:
             x = src

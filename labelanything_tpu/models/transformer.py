@@ -261,8 +261,14 @@ class TwoWayTransformer(nn.Module):
         point_embedding: jax.Array,   # (B, N, D)
         query_mask: Optional[jax.Array] = None,
         *,
+        image_shift: Optional[jax.Array] = None,  # (B, D) uniform per-instance
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
+        """With ``image_shift``, ``image_embedding`` holds B/group SHARED base
+        maps and the effective per-instance input is
+        ``base[b // group] + image_shift[b]`` (spatially uniform shift) — the
+        blockdiag path exploits this exactly (rank-1 linearity); other paths
+        expand it eagerly."""
         from ..ops.attention import _on_tpu
         from ..ops import fused_twoway as _ft
         from ..ops import twoway_blockdiag as _bd
@@ -284,6 +290,13 @@ class TwoWayTransformer(nn.Module):
                  and _ft._ENABLE and (_on_tpu() or _ft._INTERPRET)
                  and query_mask is None and self.dropout == 0.0
                  and image_pe.shape[0] == 1)
+        if image_shift is not None and not blockdiag:
+            group = point_embedding.shape[0] // image_embedding.shape[0]
+            image_embedding = (
+                jnp.repeat(image_embedding, group, axis=0)
+                + image_shift[:, None, None, :].astype(image_embedding.dtype))
+            keys = _flatten_image(image_embedding)
+            image_shift = None
         if blockdiag:
             params = []
             for i in range(self.depth):
@@ -299,7 +312,7 @@ class TwoWayTransformer(nn.Module):
             return _bd.twoway_blockdiag(
                 keys, queries, key_pe, tuple(params), self.depth,
                 self.num_heads, self.attention_downsample_rate,
-                self.activation, self.dtype)
+                self.activation, self.dtype, key_shift=image_shift)
         if fused:
             params = []
             for i in range(self.depth):

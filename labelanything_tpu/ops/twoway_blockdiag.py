@@ -36,6 +36,26 @@ Pallas kernel (ops/fused_twoway.py) measured 0.83x end-to-end and stays
 disabled; this formulation beats XLA's default schedule by fixing layouts,
 not by fusing harder.
 
+**Shared-keys (rank-1 shift) fast path.** When no mask prompts are present,
+the prompt encoder's per-(example, class) image operand is
+``keys[g=(bm, c)] = base[bm] + u[g]`` with a *spatially uniform* shift
+``u = no_mask_embed + class-bank row`` (reference: the chunked axis of
+prompt_encoder.py:677-694 — here exploited by linearity instead of chunked).
+Passing ``keys`` as the (BM, S, D) base plus ``key_shift`` (G, D) lets
+layer 1 run all image-side work C-fold cheaper, exactly:
+
+  * the packed projection runs over BM instances; the shift contributes
+    ``u @ W`` per instance (rank-1);
+  * token->image scores: the key correction ``qt . (u @ Wk)`` is constant
+    over the S (softmax) axis, so it cancels — omitted entirely;
+  * token->image PV: softmax rows sum to 1, so the V correction adds
+    ``u @ Wv`` verbatim to each output row;
+  * image->token scores: the query correction varies per token row and the
+    segment softmax runs over rows, so it is kept (one tiny einsum).
+
+The full (G, S, D) keys array first materializes at layer 1's image-side
+residual; layers >= 2 proceed on the normal path.
+
 Enabled by default on TPU; ``_FORCE`` lets CPU tests exercise it.
 """
 
@@ -121,7 +141,7 @@ def _attn_tok(q, k, v, p, heads, dtype):
 
 
 def twoway_blockdiag(
-    keys: jax.Array,            # (G, S, D) image tokens
+    keys: jax.Array,            # (G, S, D) image tokens — or (BM, S, D) base
     point_embedding: jax.Array,  # (G, NT, D) sparse/class tokens
     key_pe: jax.Array,          # (S, D) shared positional source
     params: Sequence[jax.Array],
@@ -130,9 +150,22 @@ def twoway_blockdiag(
     downsample_rate: int,
     activation: Callable,
     dtype: jnp.dtype,
+    key_shift: jax.Array = None,  # optional (G, D) uniform per-instance shift
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (queries, keys), matching TwoWayTransformer.__call__."""
-    g, s, d = keys.shape
+    """Returns (queries, keys), matching TwoWayTransformer.__call__.
+
+    With ``key_shift``, the effective image operand is
+    ``keys[g] = keys[g // group] + key_shift[g]`` (group = G // BM) and
+    layer 1's image-side computation runs over the BM base instances only
+    (see module docstring — exact by linearity/softmax identities)."""
+    g = point_embedding.shape[0]
+    shared = key_shift is not None
+    if shared:
+        bm, s, d = keys.shape
+        assert g % bm == 0, (g, bm)
+        group = g // bm
+    else:
+        _, s, d = keys.shape
     nt = point_embedding.shape[1]
     i = d // downsample_rate
     dh = i // num_heads
@@ -161,6 +194,15 @@ def twoway_blockdiag(
         o = _undiag(o48, num_heads, nt, dh)
         return queries + (o @ wo + bo), p_norm
 
+    def _gdot(x, y, cy, f32=True):
+        """Grouped batched dot: x (G, T, X) against the SHARED y (BM, ., .)
+        by regrouping the C instances of each bm onto the token axis —
+        same MACs, but y streams from HBM once per bm instead of C times."""
+        t = x.shape[1]
+        xr = x.reshape(bm, group * t, x.shape[2])
+        out = _dot(xr, y, 2, cy, f32)
+        return out.reshape(g, t, out.shape[-1])
+
     for layer in range(depth):
         p_self = take(_ATTN_N)
         n1s, n1b = take(2)
@@ -186,14 +228,33 @@ def twoway_blockdiag(
         wq_i2t, bq_i2t = p_i2t[0].astype(dtype), p_i2t[1].astype(dtype)
         wpack = jnp.concatenate([wk, wv, wq_i2t], axis=1)
         bpack = jnp.concatenate([bk, bv, bq_i2t])
-        pk = (keys + kpe) @ wpack + bpack           # (G, S, 3I)
+        in_shared = shared and layer == 0
+        pk = (keys + kpe) @ wpack + bpack  # (G or BM, S, 3I)
         v_corr = kpe @ wv                           # (1, S, I)
         kp = pk[..., :i]
         vp = pk[..., i:2 * i] - v_corr
         qp_img = pk[..., 2 * i:]
+        if in_shared:
+            shift = key_shift.astype(dtype)
+            sp = shift @ wpack                       # (G, 3I), rank-1, no bias
+            sv, sq = sp[:, i:2 * i], sp[:, 2 * i:]
 
         # token->image cross attention
-        out, _ = t2i(queries, kp, vp, p_t2i, None)
+        if in_shared:
+            # the key correction qt.(u@Wk) is constant over S -> cancels in
+            # the softmax; the V correction adds sv to every output row
+            # because softmax rows sum to 1
+            wq, bq = p_t2i[0].astype(dtype), p_t2i[1].astype(dtype)
+            wo, bo = p_t2i[6].astype(dtype), p_t2i[7].astype(dtype)
+            q = queries + qpe
+            qt = _bd((q @ wq + bq).reshape(g, nt, num_heads, dh))
+            s48 = _gdot(qt, kp, 2) * scale
+            a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+            o48 = _gdot(a48, vp, 1, f32=False)
+            o = _undiag(o48, num_heads, nt, dh) + sv[:, None, :]
+            out = queries + (o @ wo + bo)
+        else:
+            out, _ = t2i(queries, kp, vp, p_t2i, None)
         queries = _ln(out, n2s, n2b, dtype)
 
         # mlp on tokens
@@ -206,7 +267,16 @@ def twoway_blockdiag(
         q = queries + qpe
         kt = _bd((q @ wk2 + bk2).reshape(g, nt, num_heads, dh))
         vt = _bd((queries @ wv2 + bv2).reshape(g, nt, num_heads, dh))
-        s48 = _dot(kt, qp_img, 2, 2) * scale
+        if in_shared:
+            # the query correction kt.(u@Wq) varies per token row and the
+            # segment softmax runs over rows -> keep it (one tiny einsum)
+            row = jnp.einsum("gti,gi->gt", kt, sq,
+                             preferred_element_type=jnp.float32)
+            s48 = (_gdot(kt, qp_img, 2) + row[..., None]) * scale
+            # materialize the per-instance keys for the residual + layers >= 2
+            keys = jnp.repeat(keys, group, axis=0) + shift[:, None, :]
+        else:
+            s48 = _dot(kt, qp_img, 2, 2) * scale
         a = _segment_softmax(s48, nt).astype(dtype)
         o = _dot(a, vt, 1, 1, f32=False)             # (G, S, I) bf16
         keys = _ln(keys + (o @ wo2 + bo2), n4s, n4b, dtype)

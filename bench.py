@@ -30,9 +30,10 @@ def main():
                     help="decode mode: all steps in one jitted fori_loop "
                          "(pure device throughput, no per-step dispatch)")
     ap.add_argument("--no-masks", action="store_true",
-                    help="decode mode: points/boxes-only episodes (the demo/"
-                         "serving common case; engages the rank-1 shared-keys"
-                         " fusion fast path)")
+                    help="decode/train modes: points/boxes-only episodes "
+                         "(the demo/serving common case and the mask-less "
+                         "training buckets; engages the rank-1 shared-keys "
+                         "fusion fast path)")
     ap.add_argument("--tp", action="store_true",
                     help="vit mode: head-sharded shard_map attention path")
     ap.add_argument("--images-path", action="store_true",
@@ -61,7 +62,7 @@ def main():
         kw["tp"] = True
     if args.device_loop and args.mode in ("decode", "train"):
         kw["device_loop"] = True
-    if args.no_masks and args.mode == "decode":
+    if args.no_masks and args.mode in ("decode", "train"):
         kw["include_masks"] = False
     if args.mode == "pipeline":
         if args.workers:

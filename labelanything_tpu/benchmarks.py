@@ -266,7 +266,7 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
 
 
 def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
-                reps=3, device_loop=False):
+                reps=3, device_loop=False, include_masks=True):
     """Full training step throughput on the flagship lam_no_vit config:
     forward + focal loss + backward + AdamW update (the reference's hot loop,
     reference: experiment/run.py:425-590). The chained TrainState (donated)
@@ -296,7 +296,7 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
                              class_weighting=True)
     full = jax.tree.map(jnp.asarray, random_full_batch(
         batch_size=batch_size, num_examples=shots, num_classes=c,
-        image_size=image_size, embed_dim=768,
+        image_size=image_size, embed_dim=768, include_masks=include_masks,
     ))
     sub = Substitutor(num_points=1, substitute=False)
     sub.reset(full)
@@ -329,6 +329,7 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
         full2 = jax.tree.map(jnp.asarray, random_full_batch(
             batch_size=batch_size, num_examples=shots, num_classes=c,
             image_size=image_size, embed_dim=768, seed=1,
+            include_masks=include_masks,
         ))
         sub2 = Substitutor(num_points=1, substitute=False)
         sub2.reset(full2)
@@ -373,6 +374,7 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
     return _attach_mfu({
         "metric": (f"train episodes/sec ({ways}-way {shots}-shot, "
                    f"{image_size}px, bf16, fwd+bwd+AdamW"
+                   + ("" if include_masks else ", no-masks")
                    + (", device loop)" if device_loop else ")")),
         "value": round(batch_size * steps / med, 2),
         "unit": "episodes/sec",

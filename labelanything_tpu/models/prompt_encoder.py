@@ -30,6 +30,17 @@ from .common import Attention, AttentionMLPBlock, LayerNorm2d
 from .transformer import OneWayAttentionBlock, TwoWayTransformer
 
 
+def _shared_keys_disabled() -> bool:
+    """Kill switch for the rank-1 shared-keys fusion fast path.
+
+    Read at TRACE time: set LA_TPU_DISABLE_SHARED_KEYS=1 before the first
+    forward is jit-compiled; toggling it afterwards has no effect on cached
+    executables. Falsy spellings ('', '0', 'false', 'no', 'off') leave the
+    fast path enabled."""
+    return os.environ.get("LA_TPU_DISABLE_SHARED_KEYS", "").strip().lower() \
+        not in ("", "0", "false", "no", "off")
+
+
 class PositionEmbeddingRandom(nn.Module):
     """Random-Fourier positional encoding
     (reference: prompt_encoder.py:187-233).
@@ -641,7 +652,7 @@ class PromptImageEncoder(nn.Module):
             and isinstance(self.transformer, TwoWayTransformer)
             and isinstance(self.class_encoder,
                            (RandomMatrixEncoder, IdentityClassEncoder))
-            and not os.environ.get("LA_TPU_DISABLE_SHARED_KEYS")
+            and not _shared_keys_disabled()
         )
         if uniform_dense:
             proxy = jnp.broadcast_to(

@@ -291,6 +291,11 @@ class TwoWayTransformer(nn.Module):
                  and query_mask is None and self.dropout == 0.0
                  and image_pe.shape[0] == 1)
         if image_shift is not None and not blockdiag:
+            if point_embedding.shape[0] % image_embedding.shape[0] != 0:
+                raise ValueError(
+                    f"image_shift expansion needs the token-instance count "
+                    f"({point_embedding.shape[0]}) divisible by the base-"
+                    f"image count ({image_embedding.shape[0]})")
             group = point_embedding.shape[0] // image_embedding.shape[0]
             image_embedding = (
                 jnp.repeat(image_embedding, group, axis=0)

@@ -61,7 +61,7 @@ Enabled by default on TPU; ``_FORCE`` lets CPU tests exercise it.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -150,7 +150,7 @@ def twoway_blockdiag(
     downsample_rate: int,
     activation: Callable,
     dtype: jnp.dtype,
-    key_shift: jax.Array = None,  # optional (G, D) uniform per-instance shift
+    key_shift: Optional[jax.Array] = None,  # (G, D) uniform per-instance shift
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (queries, keys), matching TwoWayTransformer.__call__.
 
@@ -162,7 +162,11 @@ def twoway_blockdiag(
     shared = key_shift is not None
     if shared:
         bm, s, d = keys.shape
-        assert g % bm == 0, (g, bm)
+        if g % bm != 0:
+            raise ValueError(
+                f"shared-keys path needs the token count ({g}) divisible by "
+                f"the base-image count ({bm}): point_embedding must carry "
+                f"exactly C instances per (batch, example) base map")
         group = g // bm
     else:
         _, s, d = keys.shape

@@ -36,6 +36,11 @@ def main():
                          "fusion fast path)")
     ap.add_argument("--tp", action="store_true",
                     help="vit mode: head-sharded shard_map attention path")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="train mode: drive the ACTUAL Run.train_epoch over "
+                         "a device-resident synthetic stream (proves the "
+                         "train loop adds no host sync stalls vs "
+                         "--device-loop)")
     ap.add_argument("--images-path", action="store_true",
                     help="train mode: alias for --mode pipeline (host loader"
                          " -> device step, reports device_busy/loader_wait)")
@@ -47,10 +52,13 @@ def main():
     args = ap.parse_args()
 
     from labelanything_tpu.benchmarks import (bench_decode, bench_pipeline,
-                                              bench_train, bench_vit)
+                                              bench_train,
+                                              bench_train_pipeline, bench_vit)
 
     if args.images_path and args.mode == "train":
         args.mode = "pipeline"
+    if args.pipeline and args.mode == "train":
+        args.mode = "train_pipeline"
     kw = {} if args.mode == "pipeline" else {"reps": args.reps}
     if args.batch:
         kw["batch_size"] = args.batch
@@ -62,7 +70,7 @@ def main():
         kw["tp"] = True
     if args.device_loop and args.mode in ("decode", "train"):
         kw["device_loop"] = True
-    if args.no_masks and args.mode in ("decode", "train"):
+    if args.no_masks and args.mode in ("decode", "train", "train_pipeline"):
         kw["include_masks"] = False
     if args.mode == "pipeline":
         if args.workers:
@@ -70,7 +78,7 @@ def main():
         if args.thread_loader:
             kw["use_processes"] = False
     fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train,
-           "pipeline": bench_pipeline}
+           "pipeline": bench_pipeline, "train_pipeline": bench_train_pipeline}
     result = fns[args.mode](**kw)
 
     baselines = {}

@@ -382,6 +382,128 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
     }, step_flops, med / steps)
 
 
+class _DeviceStreamLoader:
+    """EpisodeLoader stand-in yielding pre-staged episode batches.
+
+    Leaves are already device-resident with the Run's data sharding, so
+    ``Run._device_batch``'s ``jnp.asarray``/``device_put`` are no-ops: what
+    remains measurable is exactly the train loop's own host orchestration
+    (substitutor scheduling, async metric flush, LUT folds, logging)."""
+
+    def __init__(self, batches, num_steps: int):
+        self.batches = batches
+        self.num_steps = num_steps
+
+    def __len__(self):
+        return self.num_steps
+
+    def set_epoch(self, epoch: int):
+        pass
+
+    def close(self):
+        pass
+
+    def __iter__(self):
+        for i in range(self.num_steps):
+            yield self.batches[i % len(self.batches)]
+
+
+def bench_train_pipeline(batch_size=8, ways=5, shots=1, image_size=480,
+                         steps=48, reps=3, include_masks=True):
+    """The ACTUAL ``Run.train_epoch`` driven over a device-resident synthetic
+    episode stream, comparable head-to-head with ``--mode train
+    --device-loop`` (same model/shapes/precision): the loop is de-synced when
+    this lands within ~15% of the pure device-loop number.
+
+    Pre-staging excludes host collate + host->device transfer by design —
+    those belong to the loader benches (``--mode pipeline``); over the
+    tunneled dev link a single episode batch's embeddings (~44 MB) would
+    otherwise swamp the measurement. The reference's counterpart loop is
+    experiment/run.py:425-590 (gathers every log_frequency)."""
+    import tempfile
+    from types import SimpleNamespace
+
+    from labelanything_tpu.data.synthetic import random_full_batch
+    from labelanything_tpu.experiment.run import Run
+    from labelanything_tpu.models.build_lam import build_lam_no_vit
+    from labelanything_tpu.parallel.mesh import create_mesh, shard_batch
+    from labelanything_tpu.train.checkpoint import CheckpointManager
+    from labelanything_tpu.train.losses import LabelAnythingLoss
+    from labelanything_tpu.typing import BatchKeys
+    from labelanything_tpu.utils.logging import ExperimentLogger
+
+    c = ways + 1
+    tmp = tempfile.TemporaryDirectory(prefix="labench_pipe_")
+    run = Run()
+    run.params = {}
+    run.seed = 0
+    run.train_params = {"substitute": False, "check_nan": 0,
+                        "memory_preflight": False}
+    run.model_params = {"embed_dim": 256, "image_size": image_size}
+    run.dataset_params = {}
+    run.dataloader_params = {}
+    run.mesh = create_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    run.data_sharding = NamedSharding(run.mesh, P("data"))
+    run.num_processes = int(run.mesh.devices.size)
+    run.tracker = ExperimentLogger(tmp.name, name="bench_pipeline")
+    run.checkpoints = CheckpointManager(f"{tmp.name}/checkpoints")
+    run.log_frequency = 10
+    run.image_log_frequency = 0
+    run.val_image_log_frequency = 0
+    run.run_dir = tmp.name
+    run.model = build_lam_no_vit(
+        image_embed_dim=768, embed_dim=256, image_size=image_size,
+        class_encoder={"name": "RandomMatrixEncoder", "bank_size": 100},
+        dtype=jnp.bfloat16,
+    )
+    run.loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}},
+                                 class_weighting=True)
+    run.tx = None
+    run.train_step = None
+    run.eval_step = None
+    run.image_size = image_size
+    run.val_loaders = {}
+
+    categories = {i: {"name": f"cat{i}"} for i in range(1, ways + 1)}
+    run.train_dataset = SimpleNamespace(
+        datasets={"syn": SimpleNamespace(categories=categories)})
+
+    # two distinct pre-staged episode batches (a 2-slot stream, like the
+    # device-loop bench) with the CLASSES host metadata the LUT fold needs
+    host_classes = [[list(range(1, ways + 1))] * (shots + 1)] * batch_size
+    staged = []
+    for s in (0, 1):
+        full = random_full_batch(
+            batch_size=batch_size, num_examples=shots, num_classes=c,
+            image_size=image_size, embed_dim=768, seed=s,
+            include_masks=include_masks)
+        gts = full[BatchKeys.GROUND_TRUTHS]
+        device = shard_batch(jax.tree.map(jnp.asarray, full), run.mesh)
+        device[BatchKeys.CLASSES] = host_classes
+        staged.append(((device, gts), ("syn",)))
+    run.train_loader = _DeviceStreamLoader(staged, steps)
+
+    run.train_epoch(0)  # warmup: lazy init + compile both stream slots
+    times = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        run.train_epoch(rep + 1)
+        times.append(time.perf_counter() - t0)
+    tmp.cleanup()
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med else 0.0
+    return {
+        "metric": (f"train episodes/sec (Run.train_epoch, device-resident "
+                   f"stream, {ways}-way {shots}-shot {image_size}px, bf16"
+                   + ("" if include_masks else ", no-masks") + ")"),
+        "value": round(batch_size * steps / med, 2),
+        "unit": "episodes/sec",
+        "spread": round(spread, 3),
+    }
+
+
 def _write_synthetic_coco(root, n_images: int, image_size: int,
                           n_categories: int = 4, seed: int = 0) -> None:
     """Synthetic on-disk COCO (images + instances.json) for the images-path

@@ -6,6 +6,8 @@ benchmark, rename_coco20i_json, app.
 
 from __future__ import annotations
 
+import json
+
 import click
 
 
@@ -65,8 +67,29 @@ def run_cmd(parameters, out_dir):
 @main.command("validate")
 @click.option("--parameters", required=True, type=click.Path(exists=True))
 @click.option("--out-dir", default="runs/validate")
-def validate_cmd(parameters, out_dir):
+@click.option("--checkpoint", default=None,
+              help="Checkpoint to evaluate: a save_pretrained/HF-snapshot "
+                   "dir, a run checkpoints dir (latest/best), or a torch "
+                   "weights file. Runs the FULL fold x rerun protocol of the "
+                   "YAML (one grid per fold) and emits the mIoU/FB-IoU table.")
+@click.option("--folds", default=None,
+              help="comma-separated grid/fold indexes (default: all)")
+@click.option("--reruns", default=None, type=int,
+              help="override val_params.reruns")
+@click.option("--compare", default=None, type=click.Path(exists=True),
+              help="JSON of reference numbers to diff against (paper table)")
+def validate_cmd(parameters, out_dir, checkpoint, folds, reruns, compare):
     """Validate a checkpointed run on its validation datasets."""
+    if checkpoint is not None:
+        from .experiment.evaluate import evaluate_checkpoint
+
+        fold_list = ([int(x) for x in folds.split(",")]
+                     if folds else None)
+        results = evaluate_checkpoint(parameters, checkpoint,
+                                      out_dir=out_dir, folds=fold_list,
+                                      reruns=reruns, compare=compare)
+        click.echo(json.dumps(results, indent=2))
+        return
     from .experiment import Run
     from .utils.config import expand_experiment, load_yaml
 

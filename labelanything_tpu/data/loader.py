@@ -66,11 +66,24 @@ class EpisodeLoader:
         group_size: int = 1,
         use_processes: bool = False,
         seed: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         """``group_size`` merges that many consecutive per-rank batches (the
         sampler replicates each shape tuple once per data-parallel rank,
         reference: data/dataset.py:281-306) into one global batch whose
-        leading axis is divisible by the mesh's data axis."""
+        leading axis is divisible by the mesh's data axis.
+
+        Multi-host (``process_count > 1``): every host runs the SAME sampler
+        schedule (same seed -> identical shapes and episode permutation), but
+        each assembles only the ``group_size / process_count`` rank-batches
+        belonging to its local devices — rank slot ``p*L .. (p+1)*L`` of each
+        group. The global array is then stitched by
+        ``parallel.mesh.shard_batch`` via
+        ``jax.make_array_from_process_local_data``. This removes the N-x
+        redundant host assembly a naive pod run would pay (the reference
+        feeds each DDP rank its own DataLoader shard:
+        slurm/launch_run_multinode_exe:11-20)."""
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.num_workers = max(1, num_workers)
@@ -78,11 +91,41 @@ class EpisodeLoader:
         self.group_size = max(1, group_size)
         self.use_processes = use_processes
         self.seed = seed
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
+        if self.group_size % self.process_count != 0:
+            raise ValueError(
+                f"group_size ({self.group_size}) must be divisible by "
+                f"process_count ({self.process_count}): one rank-batch per "
+                f"device, devices evenly spread over hosts")
+        self.local_ranks = self.group_size // self.process_count
         self._epoch = 0
         self._pool: Optional[ProcessPoolExecutor] = None
 
     def __len__(self):
         return len(self.batch_sampler) // self.group_size
+
+    def updates_per_epoch(self, substitute: bool = True,
+                          accumulate: bool = False) -> int:
+        """Exact optimizer updates one epoch produces — the divisor for
+        ``step_moment: epoch`` schedules (reference steps the scheduler once
+        per epoch, experiment/utils.py:77-100). With substitution and no
+        accumulation every pass updates (num_examples + 1 per batch); with
+        accumulation (or substitute off) each merged group updates once.
+        Shuffling permutes but never changes the epoch's shape multiset, so
+        this is constant across epochs."""
+        n_groups = len(self)
+        if accumulate or not substitute:
+            return max(1, n_groups)
+        from ..typing import BatchMetadataKeys as K
+
+        examples = self.batch_sampler.batch_metadata.get(K.NUM_EXAMPLES)
+        if not isinstance(examples, list):
+            return max(1, n_groups)
+        # one merged group = group_size consecutive sampler batches with the
+        # same shape tuple (rank replication) -> passes counted per group
+        per_group = examples[::self.group_size][:n_groups]
+        return max(1, sum((m or 1) + 1 for m in per_group))
 
     # ------------------------------------------------------------------ #
 
@@ -135,13 +178,19 @@ class EpisodeLoader:
             pass
 
     def _groups(self):
-        group, n_batches = [], 0
+        """Yield this process's episode indices for each global batch: rank
+        slots [p*L, (p+1)*L) of every ``group_size``-batch window."""
+        lo = self.process_index * self.local_ranks
+        hi = lo + self.local_ranks
+        group, pos = [], 0
         for batch_idxs in self.batch_sampler:
-            group.extend(batch_idxs)
-            n_batches += 1
-            if n_batches == self.group_size:
-                yield group
-                group, n_batches = [], 0
+            if lo <= pos < hi:
+                group.extend(batch_idxs)
+            pos += 1
+            if pos == self.group_size:
+                if group:
+                    yield group
+                group, pos = [], 0
         if group:
             yield group
 

@@ -23,12 +23,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.dataset import LabelAnythingDataset, VariableBatchSampler
 from ..data.loader import EpisodeLoader
-from ..parallel.mesh import create_mesh, shard_batch
+from ..parallel.mesh import (allreduce_host, create_mesh, local_shard,
+                             shard_batch)
 from ..parallel.train_step import TrainState, init_train_state, make_eval_step, make_train_step
 from ..models.registry import model_registry
 from ..train.checkpoint import CheckpointManager
 from ..train.losses import LabelAnythingLoss
-from ..train.metrics import fb_iou, mean_iou, strict_mean_iou
+from ..train.metrics import (fb_iou_np, mean_iou_np,
+                             strict_mean_iou_np)
 from ..train.optim import build_optimizer
 from ..train.substitutor import Substitutor
 from ..typing import BatchKeys, IGNORE_INDEX, LossDict, ResultDict
@@ -164,6 +166,24 @@ def global_confusion(preds: np.ndarray, gts: np.ndarray, lut: np.ndarray,
     return cm
 
 
+def fold_global_confusion(cm: np.ndarray, cm_ps: np.ndarray, lut: np.ndarray,
+                          num_global: int) -> np.ndarray:
+    """Fold per-sample EPISODE confusion matrices (B, C_ep, C_ep) into the
+    global matrix through the per-sample LUT — numerically identical to
+    ``global_confusion`` over full-resolution preds (the device already
+    excluded IGNORE_INDEX pixels and clipped preds; the LUT application
+    commutes with pixel counting), at C_ep^2 host work per sample instead
+    of H*W."""
+    b = cm_ps.shape[0]
+    for i in range(b):
+        idx = lut[i][:, None] * num_global + lut[i][None, :]
+        cm += np.bincount(
+            idx.ravel(), weights=cm_ps[i].ravel(),
+            minlength=num_global * num_global,
+        ).reshape(num_global, num_global).astype(np.int64)
+    return cm
+
+
 def binary_confusion_np(preds: np.ndarray, gts: np.ndarray) -> np.ndarray:
     valid = gts != IGNORE_INDEX
     p = (preds[valid] > 0).astype(np.int64)
@@ -269,7 +289,9 @@ class Run:
                 dataset, sampler, num_workers,
                 group_size=self.num_processes,
                 use_processes=_first(dl.get("use_processes", False)),
-                seed=self.seed)
+                seed=self.seed,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
             self.train_dataset = dataset
 
         self.val_loaders = {}
@@ -288,7 +310,9 @@ class Run:
                 dataset, sampler, num_workers,
                 group_size=self.num_processes,
                 use_processes=_first(dl.get("use_processes", False)),
-                seed=self.seed)
+                seed=self.seed,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
         self.test_params = test_params
         self.common_params = common
 
@@ -323,8 +347,15 @@ class Run:
         schedule_div = 1
         if step_moment == "epoch" and self.train_loader is not None:
             # reference steps the scheduler once per epoch in this mode
-            # (experiment/utils.py:77-100); optax schedules tick per update
-            schedule_div = max(1, len(self.train_loader))
+            # (experiment/utils.py:77-100); optax schedules tick per optimizer
+            # update, so divide by the EXACT updates one epoch produces
+            # (substitution passes included — loader.updates_per_epoch)
+            if hasattr(self.train_loader, "updates_per_epoch"):
+                schedule_div = self.train_loader.updates_per_epoch(
+                    substitute=tp.get("substitute", True),
+                    accumulate=tp.get("accumulate_substitution", False))
+            else:
+                schedule_div = max(1, len(self.train_loader))
         self.tx = build_optimizer(
             params,
             name=tp.get("optimizer", "AdamW"),
@@ -348,7 +379,8 @@ class Run:
             self.state = place_state(self.state, state_sh)
         self.train_step = make_train_step(self.model, self.loss, self.tx,
                                           mesh=self.mesh,
-                                          state_shardings=state_sh)
+                                          state_shardings=state_sh,
+                                          with_confmat=True)
         if tp.get("memory_preflight", True):
             # fail fast on OOM before the first real step (reference:
             # allocate_memory, experiment/utils.py:181-207)
@@ -412,7 +444,36 @@ class Run:
             if loader is not None and hasattr(loader, "close"):
                 loader.close()
 
+    def _prefetched_batches(self):
+        """One-batch-ahead loader->device staging: batch n+1 is dropped,
+        device_put and sharded while the device still executes batch n's
+        passes (the device_put itself is async). The embed pipeline has had
+        this since round 1 (preprocess.py double-buffering); this is the
+        train-loop counterpart."""
+        prev = None
+        for (batch, gts), _names in self.train_loader:
+            cur = (self._device_batch(batch), gts, batch)
+            if prev is not None:
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev
+
     def train_epoch(self, epoch: int):
+        """Async-dispatch training epoch.
+
+        The reference gathers metrics every ``log_frequency`` steps
+        (reference: experiment/run.py:374-389); round-2 of this runtime
+        instead synced the host on EVERY substitution pass (loss float,
+        full-res preds fetch, host pixel-level confusion) which serialized
+        host and device. Now the step's device outputs (scalar loss,
+        per-sample episode confmats) are queued un-fetched and flushed every
+        ``log_frequency`` steps: the device runs ahead, the host folds tiny
+        C_ep^2 matrices through the episode->global LUT
+        (``fold_global_confusion``), and predictions are only materialized
+        for image logging. The NaN sentinel consequently fires with up to
+        ``log_frequency`` steps of delay (the dump carries the offending
+        pass's input batch and the then-current params)."""
         assert self.train_loader is not None, "no train datasets configured"
         tp = self.train_params
         accumulate = tp.get("accumulate_substitution", False)
@@ -430,13 +491,37 @@ class Run:
         cm = np.zeros((num_global, num_global), np.int64)
         cm2 = np.zeros((2, 2), np.int64)
         loss_sum, loss_count = 0.0, 0
+        last_loss = float("nan")
         epoch_rng = np.random.default_rng(self.seed + epoch)
         t0 = time.time()
 
+        pending: List[tuple] = []
+
+        def flush():
+            nonlocal cm, cm2, loss_sum, loss_count, last_loss
+            for aux, lut, step_input in pending:
+                loss_val = float(aux["loss"])
+                if check_nan and not np.isfinite(loss_val):
+                    # reference dumps model+batch to nan.pt before raising
+                    # (experiment/utils.py:139-157); async flushing delays
+                    # detection by <= log_frequency steps
+                    from ..utils.profiling import check_nan as _nan_dump
+
+                    _nan_dump(loss_val, step_input, self.state.params,
+                              dump_path=f"{self.run_dir}/nan_dump.pkl")
+                loss_sum += loss_val
+                loss_count += 1
+                last_loss = loss_val
+                # multi-host: fold only THIS process's addressable rows
+                # (the loader assembled exactly those; LUT rows align)
+                cm = fold_global_confusion(cm, local_shard(aux["confmat_ps"]),
+                                           lut, num_global)
+                cm2 += np.asarray(aux["confmat2"])
+            pending.clear()
+
         substitutor = Substitutor(num_points=num_points, substitute=substitute)
         tot_steps = 0
-        for batch_idx, ((batch, gts), dataset_names) in enumerate(self.train_loader):
-            device_batch, host = self._device_batch(batch)
+        for (device_batch, host), gts, batch in self._prefetched_batches():
             n_passes = gts.shape[1] + 1 if substitute else 1
             loss_scale = 1.0 / n_passes if accumulate else 1.0
             substitutor.reset(device_batch)
@@ -454,23 +539,9 @@ class Run:
                     jax.device_put(gt, self.data_sharding), rng, loss_scale,
                     apply_update=apply_update, use_accum=use_accum,
                 )
-                loss_val = float(aux["loss"])
-                if check_nan and not np.isfinite(loss_val):
-                    # reference dumps model+batch to nan.pt before raising
-                    # (experiment/utils.py:139-157)
-                    from ..utils.profiling import check_nan as _nan_dump
-
-                    _nan_dump(loss_val, input_dict, self.state.params,
-                              dump_path=f"{self.run_dir}/nan_dump.pkl")
-                loss_sum += loss_val
-                loss_count += 1
-
-                preds = np.asarray(aux["preds"])
-                gts_np = np.asarray(gt)
                 lut = to_global_lut(host[BatchKeys.CLASSES], categories,
                                     int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
-                cm += global_confusion(preds, gts_np, lut, num_global)
-                cm2 += binary_confusion_np(preds, gts_np)
+                pending.append((aux, lut, input_dict if check_nan else None))
 
                 substitutor.generate_new_points(
                     aux["preds"], gt,
@@ -483,24 +554,29 @@ class Run:
                         and tot_steps % self.image_log_frequency == 0):
                     from ..utils.visualize import log_batch_images
 
+                    # the only place full-resolution preds cross to the host
                     paths = log_batch_images(self.run_dir,
                                              f"train_e{epoch}_s{tot_steps}",
-                                             batch, preds, gts_np)
+                                             batch, np.asarray(aux["preds"]),
+                                             np.asarray(gt))
                     for p in paths:
                         self.tracker.log_image(f"train_e{epoch}", p,
                                                step=self.global_train_step)
                 if tot_steps % self.log_frequency == 0:
+                    flush()
                     with self.tracker.phase("train"):
                         self.tracker.log_metrics(
-                            {"loss": loss_val,
-                             "mIoU": float(strict_mean_iou(jnp.asarray(cm))),
-                             "FBIoU": float(fb_iou(jnp.asarray(cm2)))},
+                            {"loss": last_loss,
+                             "mIoU": strict_mean_iou_np(cm),
+                             "FBIoU": fb_iou_np(cm2)},
                             step=self.global_train_step, epoch=epoch)
 
+        flush()
+        cm = allreduce_host(cm)  # cm2/loss are already global (device-summed)
         metrics = {
             "loss": loss_sum / max(loss_count, 1),
-            "miou": float(strict_mean_iou(jnp.asarray(cm))),
-            "fbiou": float(fb_iou(jnp.asarray(cm2))),
+            "miou": strict_mean_iou_np(cm),
+            "fbiou": fb_iou_np(cm2),
             "epoch_time": time.time() - t0,
         }
         with self.tracker.phase("train"):
@@ -546,6 +622,16 @@ class Run:
         cm2 = np.zeros((2, 2), np.int64)
         substitutor = Substitutor(substitute=False)
         val_step = 0
+        pending: List[tuple] = []
+
+        def flush():
+            nonlocal cm, cm2
+            for aux, lut in pending:
+                cm = fold_global_confusion(cm, local_shard(aux["confmat_ps"]),
+                                           lut, num_global)
+                cm2 += np.asarray(aux["confmat2"])
+            pending.clear()
+
         for (batch, gts), _ in loader:
             # single pass: prompts come from rows 1..N (query = row 0), so
             # the modality check sees exactly what the reference's does
@@ -555,13 +641,12 @@ class Run:
             input_dict, gt = next(substitutor)
             if self.state is None:
                 self._lazy_init(input_dict, gt)
-            out = self._eval_forward(input_dict)
-            preds = np.asarray(out)
-            gts_np = np.asarray(gt)
+            aux = self._eval_forward(input_dict, gt)
             lut = to_global_lut(host[BatchKeys.CLASSES], categories,
                                 int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
-            cm += global_confusion(preds, gts_np, lut, num_global)
-            cm2 += binary_confusion_np(preds, gts_np)
+            pending.append((aux, lut))
+            if len(pending) >= self.log_frequency:
+                flush()
             val_step += 1
             # epoch-indexed prompt-overlay grids, the JSONL counterpart of
             # the reference's per-epoch validation image tables
@@ -572,15 +657,17 @@ class Run:
 
                 paths = log_batch_images(
                     self.run_dir, f"val_{name}_e{epoch}_s{val_step}",
-                    batch, preds, gts_np)
+                    batch, np.asarray(aux["preds"]), np.asarray(gt))
                 for p in paths:
                     self.tracker.log_image(f"val_{name}_e{epoch}", p,
                                            step=val_step)
+        flush()
+        cm = allreduce_host(cm)  # cm2 is already a global device sum
         # same triple as the reference validate_run return (run.py:735-742)
         return {
-            "miou": float(strict_mean_iou(jnp.asarray(cm))),
-            "fbiou": float(fb_iou(jnp.asarray(cm2))),
-            "bmiou": float(mean_iou(jnp.asarray(cm))),
+            "miou": strict_mean_iou_np(cm),
+            "fbiou": fb_iou_np(cm2),
+            "bmiou": mean_iou_np(cm),
         }
 
     # ------------------------------------------------------------------ #
@@ -592,7 +679,6 @@ class Run:
         from ..data.crossdomain import (BrainMriTestDataset, DramTestDataset,
                                         KvasirTestDataset, WeedMapTestDataset)
         from ..data.test import CocoLVISTestDataset
-        from ..train.metrics import fb_iou as _fb, strict_mean_iou as _smi
 
         registry = {
             "test_coco": CocoLVISTestDataset,
@@ -625,50 +711,102 @@ class Run:
             p, b, method="generate_class_embeddings"))
         class_embs = gen(self.state.params["model"], support_dev)
 
-        predict = jax.jit(lambda p, b, c: jnp.argmax(self.model.apply(
-            p, b, c, method="predict"), axis=1))
-
         c = dataset.num_classes
+
+        from ..train.metrics import confusion_matrix_per_sample
+
+        @jax.jit
+        def eval_chunk(params, batch, class_embs, gt, row_valid):
+            """Predict one chunk and reduce it to confusion contributions on
+            device — the host only ever fetches two tiny matrices per chunk
+            (never full-resolution predictions). ``row_valid`` zeroes the
+            pad rows that square off the final chunk."""
+            preds = jnp.argmax(self.model.apply(
+                params, batch, class_embs, method="predict"), axis=1)
+            w = row_valid[:, None, None]
+            cm = (confusion_matrix_per_sample(preds, gt, c) * w).sum(axis=0)
+            fg_p = jnp.where(preds > 0, 1, 0)
+            fg_gt = jnp.where(gt > 0, 1, 0)
+            cm2 = (confusion_matrix_per_sample(
+                fg_p, jnp.where(gt == IGNORE_INDEX, IGNORE_INDEX, fg_gt), 2)
+                * w).sum(axis=0)
+            return cm, cm2
+
+        def chunks():
+            """STREAM the test set (the reference iterates a DataLoader,
+            run.py:770-843; round-2 materialized the whole dataset in RAM,
+            which cross-domain sets cannot afford)."""
+            chunk = []
+            for i in range(len(dataset)):
+                chunk.append(dataset[i])
+                if len(chunk) == batch_size:
+                    yield chunk
+                    chunk = []
+            if chunk:
+                yield chunk
+
+        def staged():
+            """One-chunk-ahead host assembly + device placement."""
+            prev = None
+            for chunk in chunks():
+                pad = batch_size - len(chunk)
+                batch, gt = dataset.collate_fn(chunk + [chunk[-1]] * pad)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                row_valid = jnp.asarray(
+                    np.arange(batch_size) < len(chunk), jnp.int32)
+                cur = (batch, jnp.asarray(gt), row_valid)
+                if prev is not None:
+                    yield prev
+                prev = cur
+            if prev is not None:
+                yield prev
+
         cm = np.zeros((c, c), np.int64)
         cm2 = np.zeros((2, 2), np.int64)
-        items = [dataset[i] for i in range(len(dataset))]
-        for start in range(0, len(items), batch_size):
-            chunk = items[start:start + batch_size]
-            pad = batch_size - len(chunk)
-            chunk_p = chunk + [chunk[-1]] * pad
-            batch, gt = dataset.collate_fn(chunk_p)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            preds = np.asarray(predict(self.state.params["model"], batch,
-                                       class_embs))
-            if pad:
-                preds, gt = preds[:len(chunk)], gt[:len(chunk)]
-            valid = gt != IGNORE_INDEX
-            p = np.clip(preds[valid], 0, c - 1)
-            t = np.clip(gt[valid], 0, c - 1)
-            cm += np.bincount(t * c + p, minlength=c * c).reshape(c, c)
-            cm2 += binary_confusion_np(preds, gt)
+        pending = []
+        for batch, gt, row_valid in staged():
+            pending.append(eval_chunk(self.state.params["model"], batch,
+                                      class_embs, gt, row_valid))
+            if len(pending) >= 8:
+                for d_cm, d_cm2 in pending:
+                    cm += np.asarray(d_cm)
+                    cm2 += np.asarray(d_cm2)
+                pending.clear()
+        for d_cm, d_cm2 in pending:
+            cm += np.asarray(d_cm)
+            cm2 += np.asarray(d_cm2)
         metrics = {
-            "miou": float(strict_mean_iou(jnp.asarray(cm))),
-            "fbiou": float(fb_iou(jnp.asarray(cm2))),
+            "miou": strict_mean_iou_np(cm),
+            "fbiou": fb_iou_np(cm2),
         }
         with self.tracker.phase(f"test/{name}"):
             self.tracker.log_metrics(metrics)
         logger.info("test %s: %s", name, {k: round(v, 4) for k, v in metrics.items()})
         return metrics
 
-    def _eval_forward(self, input_dict):
+    def _eval_forward(self, input_dict, gt):
         if not hasattr(self, "_eval_fn") or self._eval_fn is None:
+            from ..train.metrics import (binary_confusion_matrix,
+                                         confusion_matrix_per_sample)
             params_sh = NamedSharding(self.mesh, P())
 
-            def fn(params, batch):
+            def fn(params, batch, gt):
                 result = self.model.apply(params["model"], batch,
                                           deterministic=True)
-                return jnp.argmax(result[ResultDict.LOGITS], axis=1)
+                logits = result[ResultDict.LOGITS]
+                preds = jnp.argmax(logits, axis=1)
+                return {
+                    "preds": preds,
+                    "confmat_ps": confusion_matrix_per_sample(
+                        preds, gt, logits.shape[1]),
+                    "confmat2": binary_confusion_matrix(preds, gt),
+                }
 
             self._eval_fn = jax.jit(
-                fn, in_shardings=(params_sh, self.data_sharding),
+                fn, in_shardings=(params_sh, self.data_sharding,
+                                  self.data_sharding),
             )
-        return self._eval_fn(self.state.params, input_dict)
+        return self._eval_fn(self.state.params, input_dict, gt)
 
 
 def _first(x):

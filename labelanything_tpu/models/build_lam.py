@@ -34,6 +34,19 @@ _CLASS_ENCODERS = {
     "RandomMatrixEncoder": RandomMatrixEncoder,
 }
 
+_DTYPE_ALIASES = {"bf16": "bfloat16", "fp32": "float32", "fp16": "float16",
+                  "half": "bfloat16", "float": "float32"}
+
+
+def norm_dtype(dtype):
+    """Accept YAML-friendly dtype strings (the config schema's
+    ``model.dtype: bfloat16`` mixed-precision policy — compute in ``dtype``,
+    flax params stay fp32). Reference counterpart: Accelerate's precision
+    flag (reference: experiment/run.py:122-131)."""
+    if dtype is None or not isinstance(dtype, str):
+        return dtype
+    return jnp.dtype(_DTYPE_ALIASES.get(dtype.lower(), dtype.lower()))
+
 _FUSION_TRANSFORMERS = {
     "TwoWayTransformer": TwoWayTransformer,
     "OneWayTransformer": OneWayTransformer,
@@ -151,6 +164,8 @@ def _build_lam(
     remat_encoder=False,
 ) -> Lam:
     """Architecture factory (reference: build_lam.py:96-235)."""
+    dtype = norm_dtype(dtype)
+    encoder_dtype = norm_dtype(encoder_dtype)
     image_embedding_size = image_size // vit_patch_size
 
     vit = None
@@ -302,6 +317,7 @@ def build_multilevel_lam(
     from .multilevel import (MultiLevelLam, MultiLevelMaskDecoder,
                              MultiLevelPromptEncoder)
 
+    dtype = norm_dtype(dtype)
     image_encoder = None
     if encoder is not None:
         from .pyramid_encoders import (RESNET50_STAGE_DIMS, SWIN_B_STAGE_DIMS,

@@ -866,6 +866,51 @@ flash_attention_relpos_lanes_batched.defvjp(_lanes_batched_fwd,
                                             _lanes_batched_bwd)
 
 
+# Backward-pass memory policy: the XLA recompute refs materialize the full
+# (B, H, N, N) scores + bias; at SAM-1024 global shapes (N = 4096) that is
+# ~3.2 GB fp32 PER ARRAY per layer — the exact quadratic HBM pressure the
+# forward kernels kill (reference trains this path:
+# models/image_encoder.py:340-376). Above this token count the backwards
+# switch to a q-chunked, per-chunk-rematerialized reference: each chunk's
+# scores/softmax are recomputed in the backward and freed before the next,
+# bounding live quadratic memory to (B, H, CHUNK, N).
+_BWD_CHUNK_THRESHOLD = 2048
+_BWD_CHUNK = 256
+
+
+def _relpos_ref_core(q, k, v, rb, scale, kh, kw):
+    """Exact head-major rel-pos attention: q/k/v (B, H, N, dh), rb
+    (B, H, N, Kh+Kw) carrying the log2(e) fold."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    bias = rb.astype(jnp.float32) / _LOG2E
+    bias = (bias[..., :kh, None] + bias[..., None, kh:]).reshape(s.shape)
+    p = jax.nn.softmax(s + bias, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _relpos_ref_headmajor(q, k, v, rb, scale, kh, kw):
+    """Dispatch the exact reference, q-chunked + rematerialized for long
+    sequences so its VJP never holds a full N^2 tensor."""
+    n = q.shape[2]
+    if n <= _BWD_CHUNK_THRESHOLD or n % _BWD_CHUNK != 0:
+        return _relpos_ref_core(q, k, v, rb, scale, kh, kw)
+
+    nc = n // _BWD_CHUNK
+
+    @jax.checkpoint
+    def one(args):
+        qc, rc = args
+        return _relpos_ref_core(qc, k, v, rc, scale, kh, kw)
+
+    qs = q.reshape(q.shape[:2] + (nc, _BWD_CHUNK, q.shape[-1])
+                   ).transpose(2, 0, 1, 3, 4)
+    rs = rb.reshape(rb.shape[:2] + (nc, _BWD_CHUNK, rb.shape[-1])
+                    ).transpose(2, 0, 1, 3, 4)
+    o = jax.lax.map(one, (qs, rs))          # (nc, B, H, CHUNK, dh)
+    return o.transpose(1, 2, 0, 3, 4).reshape(q.shape)
+
+
 def _lanes_xla_ref(qkv, r, scale, grid_hw, heads):
     """XLA recompute of the lane-layout kernel (backward + CPU fallback)."""
     b, n, c3 = qkv.shape
@@ -877,13 +922,7 @@ def _lanes_xla_ref(qkv, r, scale, grid_hw, heads):
     k = qkv[..., c:2 * c].reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
     v = qkv[..., 2 * c:].reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
     rb = r.reshape(b, n, heads, rr).transpose(0, 2, 1, 3)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    bias = rb.astype(jnp.float32) / _LOG2E
-    bias = (bias[..., :kh, None] + bias[..., None, kh:]).reshape(
-        s.shape[:3] + (kh * kw,))
-    p = jax.nn.softmax(s + bias, axis=-1).astype(v.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    o = _relpos_ref_headmajor(q, k, v, rb, scale, kh, kw)
     return o.transpose(0, 2, 1, 3).reshape(b, n, c)
 
 

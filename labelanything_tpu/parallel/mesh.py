@@ -45,6 +45,66 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch pytree on the mesh, batch-axis sharded."""
+    """Place a host batch pytree on the mesh, batch-axis sharded.
+
+    Single process: a plain sharded ``device_put`` (a no-op for leaves
+    already placed with this sharding, e.g. the bench's device-resident
+    stream). Multi-host (``jax.process_count() > 1``): each process holds
+    only ITS shard of the global batch (the loader slices the sampler's
+    rank-replicated schedule by process — data/loader.py), so the global
+    array is assembled with ``jax.make_array_from_process_local_data`` —
+    the TPU-pod counterpart of the reference feeding each DDP rank its own
+    DataLoader shard (reference: slurm/launch_run_multinode_exe:11-20)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def place(x):
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            return jax.device_put(x, sh)  # already global
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(place, batch)
+
+
+def local_shard(aux: Any) -> Any:
+    """Host view of this process's addressable rows of a batch-sharded
+    device array (metric fetch under multi-host: each process LUT-folds its
+    own rows, then ``allreduce_host`` sums the folded matrices)."""
+    def fetch(x):
+        if not isinstance(x, jax.Array):
+            return np.asarray(x)
+        if x.is_fully_addressable or x.sharding.is_fully_replicated:
+            # single-process, or a replicated result (any replica is global)
+            return np.asarray(x)
+        shards = {}
+        for s in x.addressable_shards:  # dedupe row-replicas by start index
+            shards[s.index[0].start or 0] = s
+        return np.concatenate(
+            [np.asarray(shards[k].data) for k in sorted(shards)], axis=0)
+
+    return jax.tree.map(fetch, aux)
+
+
+def allreduce_host(x: "np.ndarray") -> "np.ndarray":
+    """Sum a small host array across processes (epoch-end metric reduction;
+    the reference's accelerator.gather, experiment/run.py:387). No-op in a
+    single-process world.
+
+    Integer inputs (confusion matrices — int64 pixel counts that overflow
+    fp32's 2^24 exact-integer range) cross the device collective as two
+    fp32 halves (hi = x >> 24, lo = x & (2^24-1)), each exactly
+    representable, and are recombined in int64 on the host — TPUs have no
+    x64, so a direct int64/f64 allgather would silently truncate."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.integer):
+        hi, lo = np.divmod(x.astype(np.int64), np.int64(1 << 24))
+        parts = multihost_utils.process_allgather(
+            np.stack([hi, lo]).astype(np.float32))
+        s = np.asarray(parts).astype(np.int64).sum(axis=0)  # over processes
+        return (s[0] << 24) + s[1]
+    return np.asarray(multihost_utils.process_allgather(x)).sum(axis=0)

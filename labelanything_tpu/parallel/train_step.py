@@ -23,7 +23,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.losses import LabelAnythingLoss
-from ..train.metrics import binary_confusion_matrix, confusion_matrix
+from ..train.metrics import (binary_confusion_matrix, confusion_matrix,
+                             confusion_matrix_per_sample)
 from ..typing import BatchKeys, LossDict, ResultDict
 
 
@@ -51,6 +52,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     num_classes: Optional[int] = None,
     state_shardings: Optional[Any] = None,
+    with_confmat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -115,6 +117,13 @@ def make_train_step(
         if num_classes is not None:
             aux["confmat"] = confusion_matrix(preds, gt, num_classes)
             aux["confmat2"] = binary_confusion_matrix(preds, gt)
+        if with_confmat:
+            # per-sample episode confmats (C from the logits shape, so each
+            # shape bucket compiles its own C — no build-time class count);
+            # the host LUT-folds them into the global matrix asynchronously
+            aux["confmat_ps"] = confusion_matrix_per_sample(
+                preds, gt, logits.shape[1])
+            aux.setdefault("confmat2", binary_confusion_matrix(preds, gt))
         return new_state, aux
 
     if mesh is None:
@@ -149,13 +158,17 @@ def make_train_step(
 
     @functools.lru_cache(maxsize=None)
     def make(apply_update: bool, use_accum: bool, loss_scale: float):
+        # aux shardings stay UNCONSTRAINED: forcing repl would all-gather the
+        # full-resolution preds to every device each step and replicate the
+        # per-sample confmats (the host folds LOCAL rows — run.py); XLA keeps
+        # preds/confmat_ps data-sharded and scalar reductions replicated.
         return jax.jit(
             functools.partial(step_fn, loss_scale=loss_scale,
                               apply_update=apply_update,
                               use_accum=use_accum),
             donate_argnums=(0,),
             in_shardings=(state_sh, data, data, repl),
-            out_shardings=(state_sh, repl),
+            out_shardings=(state_sh, None),
         )
 
     def train_step(state, batch, gt, rng, loss_scale, *,

@@ -22,6 +22,14 @@ import orbax.checkpoint as ocp
 from ..parallel.train_step import TrainState
 
 
+def _barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 class CheckpointManager:
     def __init__(self, directory: str, watch_metric: str = "mIoU",
                  higher_is_better: bool = True):
@@ -42,22 +50,33 @@ class CheckpointManager:
     def _save(self, tag: str, state: TrainState, meta: Dict[str, Any]):
         """Crash-safe save: write to a temp sibling, then swap in. The old
         checkpoint survives until the new one is fully on disk (a crash
-        mid-save must not destroy the only resume point)."""
+        mid-save must not destroy the only resume point).
+
+        Multi-host: EVERY process must call this with the same state/path —
+        orbax writes each process's addressable shards (ZeRO-sharded
+        optimizer moments, process-spanning data meshes) into one
+        checkpoint on the shared filesystem; the directory swap is then
+        performed by process 0 alone behind barriers."""
         import os
         import shutil
 
+        is_main = jax.process_index() == 0
         path = (self.dir / tag).resolve()
         tmp = (self.dir / f"{tag}.tmp").resolve()
-        if tmp.exists():
+        if is_main and tmp.exists():
             shutil.rmtree(tmp)
+        _barrier(f"ckpt_pre_{tag}")
         self._ckpt.save(tmp, dict(state._asdict()))
         self._ckpt.wait_until_finished()
-        tmp_meta = self.dir / f"{tag}.meta.json.tmp"
-        tmp_meta.write_text(json.dumps(meta))
-        if path.exists():
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        os.replace(tmp_meta, self._meta_path(tag))
+        _barrier(f"ckpt_post_{tag}")
+        if is_main:
+            tmp_meta = self.dir / f"{tag}.meta.json.tmp"
+            tmp_meta.write_text(json.dumps(meta))
+            if path.exists():
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            os.replace(tmp_meta, self._meta_path(tag))
+        _barrier(f"ckpt_swap_{tag}")
 
     def save_latest(self, state: TrainState, epoch: int, **meta):
         self._save("latest", state, {"epoch": epoch, **meta})
@@ -83,10 +102,12 @@ class CheckpointManager:
         tmp = (self.dir / f"{tag}.tmp").resolve()
         if not path.exists() and tmp.exists():
             # crashed between swap steps in _save: the temp save is complete
-            os.rename(tmp, path)
-            tmp_meta = self.dir / f"{tag}.meta.json.tmp"
-            if tmp_meta.exists():
-                os.replace(tmp_meta, self._meta_path(tag))
+            if jax.process_index() == 0:
+                os.rename(tmp, path)
+                tmp_meta = self.dir / f"{tag}.meta.json.tmp"
+                if tmp_meta.exists():
+                    os.replace(tmp_meta, self._meta_path(tag))
+            _barrier(f"ckpt_recover_{tag}")
         if not path.exists():
             return None, {}
         restored = self._ckpt.restore(path, dict(state_template._asdict()))

@@ -273,6 +273,15 @@ class LabelAnythingLoss(nn.Module):
         logits_losses = {**LOGITS_LOSSES, "rmi": rmi_loss}
 
         logits = result[ResultDict.LOGITS] if isinstance(result, dict) else result
+        # mixed-precision policy: the model computes in its configured dtype
+        # (bf16 under the trained config), the loss ALWAYS reduces in fp32 —
+        # log-softmax/focal terms in bf16 lose the small-probability tail
+        # (reference trains through Accelerate's mixed-precision autocast,
+        # which likewise keeps losses fp32: experiment/run.py:122-131)
+        if logits.dtype != jnp.float32:
+            logits = logits.astype(jnp.float32)
+            if isinstance(result, dict):
+                result = {**result, ResultDict.LOGITS: logits}
         weight_matrix = class_weights = None
         if self.class_weighting:
             weight_matrix, class_weights = get_weight_matrix_from_labels(

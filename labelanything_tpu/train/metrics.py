@@ -28,6 +28,17 @@ def confusion_matrix(preds: jax.Array, target: jax.Array, num_classes: int) -> j
     counting is exact only to 2^24, which one cell of a large
     background-dominated eval batch can exceed; per-sample cells are
     bounded by H*W (<= 2^24 up to 4096px)."""
+    return confusion_matrix_per_sample(preds, target, num_classes).sum(axis=0)
+
+
+def confusion_matrix_per_sample(preds: jax.Array, target: jax.Array,
+                                num_classes: int) -> jax.Array:
+    """Per-sample (B, C, C) episode confusion matrices — the device half of
+    the train loop's metric accumulation: the host folds these tiny
+    matrices through the per-sample episode->global class LUT
+    (experiment/run.py fold_global_confusion) instead of fetching full-
+    resolution predictions every step (reference gathers preds every
+    log_frequency: experiment/run.py:374-389)."""
     valid = target != IGNORE_INDEX
     t = jnp.where(valid, target, 0)
     p = jnp.clip(preds, 0, num_classes - 1)
@@ -35,7 +46,7 @@ def confusion_matrix(preds: jax.Array, target: jax.Array, num_classes: int) -> j
     oh_t = (t[..., None] == classes).astype(jnp.float32) * valid[..., None]
     oh_p = (p[..., None] == classes).astype(jnp.float32)
     cm = jnp.einsum("bhwc,bhwd->bcd", oh_t, oh_p)
-    return jnp.round(cm).astype(jnp.int32).sum(axis=0)
+    return jnp.round(cm).astype(jnp.int32)
 
 
 def iou_per_class(confmat: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -91,6 +102,51 @@ def fb_iou(confmat2: jax.Array) -> jax.Array:
     tp = confmat2[1, 1]
     union = confmat2[1, 0] + confmat2[0, 1] + tp
     return tp / jnp.maximum(union, 1)
+
+
+# ---- host (NumPy) mirrors -------------------------------------------- #
+# The train/val loops accumulate confusion matrices on the HOST (tiny
+# LUT-folded int64 arrays); computing the scalar metrics through the jnp
+# versions would dispatch ~15 micro-ops to the device per log line — over
+# a tunneled TPU that is milliseconds of stall per log_frequency window.
+# These mirrors are the same formulas in NumPy, bit-equal in fp64-vs-fp32
+# tolerance (tests/test_metrics.py).
+
+def _np_iou_per_class(confmat):
+    import numpy as _np
+
+    cm = _np.asarray(confmat, dtype=_np.float64)
+    tp = _np.diagonal(cm)
+    union = cm.sum(axis=0) + cm.sum(axis=1) - tp
+    valid = union > 0
+    iou = _np.where(valid, tp / _np.maximum(union, 1), 0.0)
+    return iou, valid
+
+
+def mean_iou_np(confmat) -> float:
+    iou, valid = _np_iou_per_class(confmat)
+    return float(iou.sum() / max(valid.sum(), 1))
+
+
+def strict_mean_iou_np(confmat) -> float:
+    import numpy as _np
+
+    iou, valid = _np_iou_per_class(confmat)
+    macro = iou.sum() / max(valid.sum(), 1)
+    cm = _np.asarray(confmat, dtype=_np.float64)
+    c = cm.shape[0]
+    bg_union = cm[0, 0] + cm[0, 1:].sum() + cm[1:, 0].sum()
+    bg_iou = cm[0, 0] / max(bg_union, 1)
+    return float((macro * c - bg_iou) / (c - 1))
+
+
+def fb_iou_np(confmat2) -> float:
+    import numpy as _np
+
+    cm = _np.asarray(confmat2, dtype=_np.float64)
+    tp = cm[1, 1]
+    union = cm[1, 0] + cm[0, 1] + tp
+    return float(tp / max(union, 1))
 
 
 # --------------------------------------------------------------------- #

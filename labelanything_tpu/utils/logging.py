@@ -39,6 +39,19 @@ class ExperimentLogger:
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.name = name
         self._prefix = ""
+        # main-process-only logging under multi-host (the reference's
+        # @main_process_only decorator, logger/wandb.py:32): non-zero
+        # processes keep a live object whose sinks are no-ops
+        try:
+            import jax
+
+            self._is_main = jax.process_index() == 0
+        except Exception:
+            self._is_main = True
+        if not self._is_main:
+            self.run_id, self.resumed, self._sink, self._wandb = \
+                "nonmain", False, None, None
+            return
         # run-id resume (reference: logger/wandb.py:115-178): a stable id is
         # minted on first init and reused when the run dir already has one,
         # so resumed runs append to the same logical run
@@ -82,6 +95,8 @@ class ExperimentLogger:
 
     def log_metrics(self, metrics: Dict[str, Any], step: Optional[int] = None,
                     epoch: Optional[int] = None):
+        if not self._is_main:
+            return
         record = {f"{self._prefix}{k}": _to_py(v) for k, v in metrics.items()}
         record["_time"] = time.time()
         if step is not None:
@@ -117,7 +132,8 @@ class ExperimentLogger:
                 pass
 
     def close(self):
-        self._sink.close()
+        if self._sink is not None:
+            self._sink.close()
         if self._wandb is not None:
             self._wandb.finish()
 

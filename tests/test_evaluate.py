@@ -1,0 +1,168 @@
+"""End-to-end checkpoint-eval harness test (synthetic data).
+
+Drives ``evaluate_checkpoint`` — the one-command fold x rerun protocol
+runner behind ``label-anything-tpu validate --checkpoint`` — over a
+synthetic on-disk COCO with a ``save_pretrained`` checkpoint, exercising:
+weight loading + architecture match check, per-grid ("fold") validation
+with seed reruns, aggregate means, and the reference-table diff.
+"""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from labelanything_tpu.typing import BatchKeys
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cocoeval")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(1)
+    images, annotations, ann_id = [], [], 1
+    for i in range(1, 13):
+        h, w = 64, 64
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(
+            root / "images" / f"{i}.jpg")
+        images.append({"id": i, "file_name": f"{i}.jpg",
+                       "height": h, "width": w})
+        for cat in [1, 2]:
+            x0, y0 = int(rng.integers(0, 32)), int(rng.integers(0, 32))
+            bw, bh = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": cat,
+                "segmentation": [[x0, y0, x0 + bw, y0, x0 + bw, y0 + bh,
+                                  x0, y0 + bh]],
+                "bbox": [x0, y0, bw, bh], "area": bw * bh, "iscrowd": 0,
+            })
+            ann_id += 1
+    inst = {"images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}
+    (root / "instances.json").write_text(json.dumps(inst))
+    return root
+
+
+_MODEL_CFG = {
+    "image_embed_dim": 3,
+    "embed_dim": 32,
+    "image_size": 64,
+    "class_encoder": {"name": "RandomMatrixEncoder", "bank_size": 10},
+}
+
+
+def _val_config(root):
+    """Validation-style YAML: val-only datasets, one grid per 'fold' via
+    other_grids (the second grid reseeds the episode draw, standing in for
+    the COCO-20i val_fold_idx switch)."""
+    return {
+        "experiment": {"name": "evalh", "continue_with_errors": False},
+        "parameters": {
+            "seed": [3],
+            "val_params": {"reruns": [2]},
+            "logger": {"log_frequency": [4]},
+            "train_params": {"memory_preflight": [False]},
+            "model": {
+                "name": ["lam_no_vit"],
+                **{k: [v] if not isinstance(v, dict) else
+                   {kk: [vv] for kk, vv in v.items()}
+                   for k, v in _MODEL_CFG.items()},
+            },
+            "dataset": {
+                "datasets": {
+                    "val_coco": {
+                        "instances_path": [str(root / "instances.json")],
+                        "img_dir": [str(root / "images")],
+                        "n_shots": [1],
+                        "do_subsample": [False],
+                        "add_box_noise": [False],
+                        "num_samples": [4],
+                    },
+                },
+                "common": {"image_size": [64], "seed": [0]},
+            },
+            "dataloader": {
+                "num_workers": [2],
+                "possible_batch_example_nums": [[[4, 1]]],
+                "prompt_types": [["point", "bbox", "mask"]],
+            },
+        },
+        "other_grids": [
+            {"dataset": {"common": {"seed": [7]}}},
+        ],
+    }
+
+
+def test_evaluate_checkpoint_end_to_end(coco_root, tmp_path, monkeypatch):
+    from labelanything_tpu.api import LabelAnything
+    from labelanything_tpu.experiment import run as run_mod
+    from labelanything_tpu.experiment.evaluate import evaluate_checkpoint
+
+    # strided-pixel "embeddings" (image_embed_dim=3), as in test_runner
+    orig = run_mod.Run._device_batch
+
+    def patched(self, batch, **kw):
+        device, host = orig(self, batch, **kw)
+        if BatchKeys.IMAGES in device:
+            device[BatchKeys.EMBEDDINGS] = device.pop(
+                BatchKeys.IMAGES)[:, :, ::16, ::16, :]
+        return device, host
+
+    monkeypatch.setattr(run_mod.Run, "_device_batch", patched)
+
+    # a save_pretrained checkpoint with the SAME architecture
+    la = LabelAnything(dict(_MODEL_CFG))
+    la.init_params()
+    ckpt_dir = tmp_path / "ckpt"
+    la.save_pretrained(str(ckpt_dir))
+
+    cfg_path = tmp_path / "val.yaml"
+    cfg_path.write_text(yaml.safe_dump(_val_config(coco_root)))
+    compare_path = tmp_path / "ref.json"
+    compare_path.write_text(json.dumps({"mean/miou": 0.5}))
+
+    results = evaluate_checkpoint(
+        str(cfg_path), str(ckpt_dir), out_dir=str(tmp_path / "out"),
+        reruns=1, compare=str(compare_path))
+
+    # both grids ("folds") evaluated, aggregates + diff emitted
+    assert "fold0/miou" in results and "fold1/miou" in results
+    assert "mean/miou" in results and np.isfinite(results["mean/miou"])
+    assert "deltas_vs_reference" in results
+    assert results["max_abs_delta"] == pytest.approx(
+        abs(results["mean/miou"] - 0.5))
+    saved = json.loads((tmp_path / "out" / "results.json").read_text())
+    assert saved["mean/miou"] == pytest.approx(results["mean/miou"])
+
+
+def test_evaluate_checkpoint_rejects_mismatched_architecture(
+        coco_root, tmp_path, monkeypatch):
+    from labelanything_tpu.api import LabelAnything
+    from labelanything_tpu.experiment import run as run_mod
+    from labelanything_tpu.experiment.evaluate import evaluate_checkpoint
+
+    orig = run_mod.Run._device_batch
+
+    def patched(self, batch, **kw):
+        device, host = orig(self, batch, **kw)
+        if BatchKeys.IMAGES in device:
+            device[BatchKeys.EMBEDDINGS] = device.pop(
+                BatchKeys.IMAGES)[:, :, ::16, ::16, :]
+        return device, host
+
+    monkeypatch.setattr(run_mod.Run, "_device_batch", patched)
+
+    wrong = dict(_MODEL_CFG, embed_dim=16)
+    la = LabelAnything(wrong)
+    la.init_params()
+    ckpt_dir = tmp_path / "ckpt_wrong"
+    la.save_pretrained(str(ckpt_dir))
+    cfg_path = tmp_path / "val.yaml"
+    cfg_path.write_text(yaml.safe_dump(_val_config(coco_root)))
+
+    with pytest.raises(Exception):
+        evaluate_checkpoint(str(cfg_path), str(ckpt_dir),
+                            out_dir=str(tmp_path / "out2"), folds=[0],
+                            reruns=1)

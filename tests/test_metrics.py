@@ -149,3 +149,36 @@ def test_macro_f1_and_auc_consistency():
     ties = (pos[:, None] == neg[None, :]).sum()
     exact = (greater + 0.5 * ties) / (len(pos) * len(neg))
     assert abs(auc.compute() - exact) < 1e-9
+
+
+def test_fold_global_confusion_matches_pixel_path():
+    """Device-confmat + LUT fold == host pixel-level global_confusion."""
+    import jax
+
+    from labelanything_tpu.experiment.run import (binary_confusion_np,
+                                                  fold_global_confusion,
+                                                  global_confusion,
+                                                  to_global_lut)
+    from labelanything_tpu.train.metrics import (
+        binary_confusion_matrix, confusion_matrix_per_sample)
+
+    rng = np.random.default_rng(0)
+    b, c_ep, h, w, num_global = 3, 4, 17, 19, 9
+    preds = rng.integers(0, c_ep, (b, h, w))
+    gts = rng.integers(0, c_ep, (b, h, w))
+    gts[rng.random((b, h, w)) < 0.2] = IGNORE_INDEX
+    classes = [[[2, 5], [5, 7]], [[1], [3, 6]], [[4], [2]]]
+    categories = {k: {"name": str(k)} for k in range(1, 9)}
+    lut = to_global_lut(classes, categories, c_ep)
+
+    expected = global_confusion(preds, gts, lut, num_global)
+    cm_ps = np.asarray(confusion_matrix_per_sample(
+        jnp.asarray(preds), jnp.asarray(gts), c_ep))
+    got = fold_global_confusion(np.zeros((num_global, num_global), np.int64),
+                                cm_ps, lut, num_global)
+    np.testing.assert_array_equal(got, expected)
+
+    expected2 = binary_confusion_np(preds, gts)
+    got2 = np.asarray(binary_confusion_matrix(jnp.asarray(preds),
+                                              jnp.asarray(gts)))
+    np.testing.assert_array_equal(got2, expected2)

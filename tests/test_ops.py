@@ -219,3 +219,36 @@ def test_flash_relpos_packed_grad():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_relpos_chunked_backward_matches_unchunked(monkeypatch):
+    """The q-chunked rematerialized backward (the SAM-1024 training memory
+    fix: live quadratic memory bounded to (B, H, CHUNK, N)) must produce the
+    SAME gradients as the full-materialization reference."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(0)
+    b, heads, dh, kh, kw = 2, 2, 8, 8, 8
+    n, c = kh * kw, 2 * 8
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * c)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((b, n, heads * (kh + kw))),
+                    jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+
+    def grads():
+        out, vjp = jax.vjp(
+            lambda a, rr: fa._lanes_xla_ref(a, rr, 0.3, (kh, kw), heads),
+            qkv, r)
+        return out, vjp(g)
+
+    out_full, (dq_full, dr_full) = grads()
+    monkeypatch.setattr(fa, "_BWD_CHUNK_THRESHOLD", 16)
+    monkeypatch.setattr(fa, "_BWD_CHUNK", 16)
+    out_c, (dq_c, dr_c) = grads()
+
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_full),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dq_c), np.asarray(dq_full),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dr_c), np.asarray(dr_full),
+                               rtol=2e-5, atol=2e-5)

@@ -307,7 +307,7 @@ def test_full_validation_protocol_equivalence(canonical_coco_root,
         sub = Substitutor(substitute=False)
         sub.reset(device_batch)
         our_input, our_gt = next(sub)
-        our_preds = np.asarray(run._eval_forward(our_input))
+        our_preds = np.asarray(run._eval_forward(our_input, our_gt)["preds"])
 
         classes = host[BatchKeys.CLASSES]
         c_ep = int(our_input[BatchKeys.FLAG_EXAMPLES].shape[2])

@@ -1,6 +1,7 @@
 """Training-step tests on an 8-virtual-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -23,10 +24,11 @@ IMAGE_SIZE = 64
 C = 3
 
 
-def tiny_model():
+def tiny_model(dtype="float32"):
     return build_lam_no_vit(
         image_embed_dim=32, embed_dim=32, image_size=IMAGE_SIZE,
         class_encoder={"name": "RandomMatrixEncoder", "bank_size": 10},
+        dtype=dtype,
     )
 
 
@@ -444,18 +446,23 @@ def test_tensor_parallel_vit_matches_replicated():
     np.testing.assert_allclose(losses["tp"], losses["replicated"], rtol=1e-5)
 
 
-def test_training_fits_learnable_synthetic_task():
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_training_fits_learnable_synthetic_task(dtype):
     """Training-dynamics regression: loss must DROP substantially on a task
     that is actually expressible. random_full_batch GTs are IID per-pixel
     noise — provably unfittable through the 16x-upsampling decoder (loss
     floors at the residual entropy, which once masqueraded as 'training is
     broken'). Here the GT is derived from the query embeddings (argmax over
     the first C channels, upsampled), so the mapping embedding -> mask is
-    learnable and a healthy optimizer memorizes one batch quickly."""
+    learnable and a healthy optimizer memorizes one batch quickly.
+
+    Run in BOTH fp32 and the configured mixed-precision policy (bf16
+    compute, fp32 params + fp32 loss — the trainval YAMLs' model.dtype):
+    training dynamics must hold under the policy the benchmarks record."""
     from labelanything_tpu.ops import resize_bilinear
 
     S, D = 64, 32
-    model = tiny_model()
+    model = tiny_model(dtype=dtype)
     loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}})
     full = jax.tree.map(jnp.asarray, random_full_batch(
         batch_size=2, num_examples=1, num_classes=C, image_size=S,

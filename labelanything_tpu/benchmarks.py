@@ -212,10 +212,15 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
     stream = jax.tree.map(lambda a, b: jnp.stack([a, b]), *batches)
     params = jax.jit(model.init)(jax.random.key(0), batches[0])
 
-    def one_step(params, stream, carry):
+    def one_step(params, stream, carry, idx):
         cnt, acc = carry
+        # the stream slot is derived from the LOOP INDEX, not the carried
+        # counter: the next step's input slice then has no data dependence
+        # on this step's output, so XLA overlaps the episode-stream copy
+        # with the current step's compute (with a carried cnt the copy
+        # serialized behind the whole step: ~12% of decode, PERF.md)
         b = jax.tree.map(
-            lambda s: jax.lax.dynamic_index_in_dim(s, cnt % 2, 0,
+            lambda s: jax.lax.dynamic_index_in_dim(s, idx % 2, 0,
                                                    keepdims=False), stream)
         out = model.apply(params, b)
         logits = out[ResultDict.LOGITS]
@@ -223,23 +228,26 @@ def bench_decode(batch_size=16, ways=5, shots=1, image_size=480, steps=48,
                 acc + jnp.sum(jnp.where(jnp.isfinite(logits), logits, 0.0)))
 
     carry0 = (jnp.int32(0), jnp.float32(0))
-    step_flops = _compiled_flops(jax.jit(one_step), params, stream, carry0)
+    step_flops = _compiled_flops(jax.jit(one_step), params, stream, carry0,
+                                 jnp.int32(0))
     jitted = jax.jit(one_step)
     if device_loop:
         @jax.jit
         def run_all(params, stream, carry):
             return jax.lax.fori_loop(
-                0, steps, lambda i, c: one_step(params, stream, c), carry)
+                0, steps, lambda i, c: one_step(params, stream, c, i), carry)
 
         def run_rep():  # one dispatch covers `steps` chained episodes
             return run_all(params, stream, carry0)
 
         suffix = ", device loop"
     else:
+        idx_dev = (jnp.int32(0), jnp.int32(1))  # pre-staged, no per-step put
+
         def run_rep():
             carry = carry0
-            for _ in range(steps):
-                carry = jitted(params, stream, carry)
+            for i in range(steps):
+                carry = jitted(params, stream, carry, idx_dev[i % 2])
             return carry
 
         suffix = ""
@@ -388,11 +396,22 @@ class _DeviceStreamLoader:
     Leaves are already device-resident with the Run's data sharding, so
     ``Run._device_batch``'s ``jnp.asarray``/``device_put`` are no-ops: what
     remains measurable is exactly the train loop's own host orchestration
-    (substitutor scheduling, async metric flush, LUT folds, logging)."""
+    (substitutor scheduling, async metric flush, LUT folds, logging).
+
+    Every yield hands out a FRESH on-device copy of the staged leaves: the
+    fused pass program donates its batch argument (parallel/train_step.py
+    make_pass_step), so replaying the same buffers would feed deleted
+    arrays back to the device. A real loader always produces fresh arrays;
+    the copy (an async device op, ~0.1 ms per ~60 MB batch) keeps the
+    stand-in faithful to that contract."""
 
     def __init__(self, batches, num_steps: int):
         self.batches = batches
         self.num_steps = num_steps
+        # ONE jitted dispatch per step for the whole-leaf copy: per-leaf
+        # eager jnp.copy calls each pay the tunneled dispatch cost and
+        # measured ~100 ms/step of host serialization
+        self._copy = jax.jit(lambda d: jax.tree.map(jnp.copy, d))
 
     def __len__(self):
         return self.num_steps
@@ -405,7 +424,12 @@ class _DeviceStreamLoader:
 
     def __iter__(self):
         for i in range(self.num_steps):
-            yield self.batches[i % len(self.batches)]
+            (device, gts), names = self.batches[i % len(self.batches)]
+            arrs = {k: v for k, v in device.items()
+                    if isinstance(v, jax.Array)}
+            fresh = dict(device)
+            fresh.update(self._copy(arrs))
+            yield (fresh, gts), names
 
 
 def bench_train_pipeline(batch_size=8, ways=5, shots=1, image_size=480,
@@ -481,6 +505,14 @@ def bench_train_pipeline(batch_size=8, ways=5, shots=1, image_size=480,
             include_masks=include_masks)
         gts = full[BatchKeys.GROUND_TRUTHS]
         device = shard_batch(jax.tree.map(jnp.asarray, full), run.mesh)
+        # flag leaves stay HOST numpy: drop_absent_modalities reads them with
+        # np.asarray, and a device-resident flag would cost a synchronous
+        # tunnel fetch per step — in the real loader path these arrive as
+        # numpy for free, so host flags is the faithful staging
+        for key in (BatchKeys.FLAG_POINTS, BatchKeys.FLAG_BBOXES,
+                    BatchKeys.FLAG_MASKS):
+            if key in full:
+                device[key] = np.asarray(full[key])
         device[BatchKeys.CLASSES] = host_classes
         staged.append(((device, gts), ("syn",)))
     run.train_loader = _DeviceStreamLoader(staged, steps)

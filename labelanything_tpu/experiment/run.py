@@ -23,16 +23,17 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.dataset import LabelAnythingDataset, VariableBatchSampler
 from ..data.loader import EpisodeLoader
-from ..parallel.mesh import (allreduce_host, create_mesh, local_shard,
-                             shard_batch)
-from ..parallel.train_step import TrainState, init_train_state, make_eval_step, make_train_step
+from ..parallel.mesh import create_mesh, local_shard, shard_batch
+from ..parallel.train_step import (TrainState, init_metrics_carry,
+                                   init_train_state, make_chunk_step,
+                                   make_pass_step, make_train_step)
 from ..models.registry import model_registry
 from ..train.checkpoint import CheckpointManager
 from ..train.losses import LabelAnythingLoss
 from ..train.metrics import (fb_iou_np, mean_iou_np,
                              strict_mean_iou_np)
 from ..train.optim import build_optimizer
-from ..train.substitutor import Substitutor
+from ..train.substitutor import divide_query_examples, preallocate_point_slots
 from ..typing import BatchKeys, IGNORE_INDEX, LossDict, ResultDict
 from ..utils.logging import ExperimentLogger, get_logger
 
@@ -184,6 +185,15 @@ def fold_global_confusion(cm: np.ndarray, cm_ps: np.ndarray, lut: np.ndarray,
     return cm
 
 
+def _batch_signature(device_batch) -> tuple:
+    """Chunk-grouping key: two batches stack into one scan iff their pytree
+    structure and every leaf's shape/dtype agree (same bucket, same present
+    modalities)."""
+    leaves, treedef = jax.tree.flatten(device_batch)
+    return (str(treedef),
+            tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
+
+
 def binary_confusion_np(preds: np.ndarray, gts: np.ndarray) -> np.ndarray:
     valid = gts != IGNORE_INDEX
     p = (preds[valid] > 0).astype(np.int64)
@@ -198,6 +208,7 @@ class Run:
         self.params: Dict[str, Any] = {}
         self.state: Optional[TrainState] = None
         self.global_train_step = 0
+        self._metrics_dev = None  # device metric-window carry (train_epoch)
 
     # ------------------------------------------------------------------ #
 
@@ -320,7 +331,10 @@ class Run:
 
     def _device_batch(self, batch, example_rows: Optional[slice] = None):
         batch = drop_absent_modalities(batch, example_rows=example_rows)
-        device = {k: jax.tree.map(jnp.asarray, v) for k, v in batch.items()
+        # host numpy leaves go straight into the (single, batched)
+        # device_put inside shard_batch — a per-leaf jnp.asarray here would
+        # pay one transfer round trip per leaf and then device_put again
+        device = {k: v for k, v in batch.items()
                   if k not in _HOST_KEYS and v is not None}
         host = {k: batch.get(k) for k in _HOST_KEYS}
         return shard_batch(device, self.mesh), host
@@ -381,6 +395,27 @@ class Run:
                                           mesh=self.mesh,
                                           state_shardings=state_sh,
                                           with_confmat=True)
+        # global class count for the on-device LUT fold (eval-only runs
+        # build their own per-loader eval programs)
+        self.num_global = 2
+        if getattr(self, "train_dataset", None) is not None:
+            cats = next(iter(
+                self.train_dataset.datasets.values())).categories
+            self.num_global = len(cats) + 1
+        # the train loop's actual programs: the WHOLE substitution pass
+        # (rotation, query split, rng, fwd/bwd/update, window metrics,
+        # error-point write-back) in one dispatch — see make_pass_step —
+        # and the K-batch scan over it — see make_chunk_step
+        self.pass_step = make_pass_step(
+            self.model, self.loss, self.tx, mesh=self.mesh,
+            state_shardings=state_sh,
+            num_points=tp.get("num_points", 1),
+            num_global=self.num_global)
+        self.chunk_step = make_chunk_step(
+            self.model, self.loss, self.tx, mesh=self.mesh,
+            state_shardings=state_sh,
+            num_points=tp.get("num_points", 1),
+            num_global=self.num_global)
         if tp.get("memory_preflight", True):
             # fail fast on OOM before the first real step (reference:
             # allocate_memory, experiment/utils.py:181-207)
@@ -460,26 +495,36 @@ class Run:
             yield prev
 
     def train_epoch(self, epoch: int):
-        """Async-dispatch training epoch.
+        """Zero-sync training epoch.
 
         The reference gathers metrics every ``log_frequency`` steps
-        (reference: experiment/run.py:374-389); round-2 of this runtime
-        instead synced the host on EVERY substitution pass (loss float,
-        full-res preds fetch, host pixel-level confusion) which serialized
-        host and device. Now the step's device outputs (scalar loss,
-        per-sample episode confmats) are queued un-fetched and flushed every
-        ``log_frequency`` steps: the device runs ahead, the host folds tiny
-        C_ep^2 matrices through the episode->global LUT
-        (``fold_global_confusion``), and predictions are only materialized
-        for image logging. The NaN sentinel consequently fires with up to
-        ``log_frequency`` steps of delay (the dump carries the offending
-        pass's input batch and the then-current params)."""
+        (reference: experiment/run.py:374-389); this loop goes further: ALL
+        per-pass metrics (the LUT-folded global confusion matrix, the binary
+        confusion matrix, loss statistics, the NaN sentinel flag) accumulate
+        ON DEVICE in a donated window carry inside the fused pass/chunk
+        programs, so the steady state issues one async dispatch per chunk
+        and fetches ONE small pytree per ``log_frequency`` window — over a
+        tunneled link each fetch is a full ~24 ms round trip, and round-2's
+        three-fetch-per-pass flush was 85%% of the loop's wall time.
+
+        Dispatches are chunked: same-shape episode batches group into
+        ``train_params.chunk_steps``-deep stacks executed by a single
+        ``lax.scan`` dispatch (make_chunk_step); leftovers at epoch end run
+        through the per-pass program. Chunking reorders batches ACROSS
+        shape buckets (never within one) — a deterministic permutation of
+        the sampler's schedule, equivalent in distribution.
+
+        The NaN sentinel consequently fires with up to ``log_frequency``
+        steps of delay; the window bookkeeping maps the device-reported
+        first-bad pass index back to the offending host batch for the dump
+        (reference: check_nan, experiment/utils.py:139-157)."""
         assert self.train_loader is not None, "no train datasets configured"
         tp = self.train_params
         accumulate = tp.get("accumulate_substitution", False)
         substitute = tp.get("substitute", True)
         num_points = tp.get("num_points", 1)
         check_nan = tp.get("check_nan", 0)
+        chunk_k = int(tp.get("chunk_steps", 8) or 1)
 
         if hasattr(self.train_loader, "set_epoch"):
             # fresh episode draws each epoch (episode rng is keyed by
@@ -492,87 +537,166 @@ class Run:
         cm2 = np.zeros((2, 2), np.int64)
         loss_sum, loss_count = 0.0, 0
         last_loss = float("nan")
-        epoch_rng = np.random.default_rng(self.seed + epoch)
         t0 = time.time()
 
-        pending: List[tuple] = []
+        # int32 window-exactness budget: flush before any confusion cell
+        # could cross 2^31 pixels (cells are bounded by the window's total
+        # valid-pixel count)
+        px_budget = 2 ** 30
+        window: List[tuple] = []   # (host_batch, n_passes) in dispatch order
+        window_px = 0
+        reset_next = True          # first dispatch of the epoch zeroes it
 
         def flush():
             nonlocal cm, cm2, loss_sum, loss_count, last_loss
-            for aux, lut, step_input in pending:
-                loss_val = float(aux["loss"])
-                if check_nan and not np.isfinite(loss_val):
-                    # reference dumps model+batch to nan.pt before raising
-                    # (experiment/utils.py:139-157); async flushing delays
-                    # detection by <= log_frequency steps
-                    from ..utils.profiling import check_nan as _nan_dump
+            nonlocal reset_next, window_px
+            if not window or self._metrics_dev is None:
+                return
+            m = local_shard(self._metrics_dev)  # ONE tunnel round trip
+            cm += m["cm"].astype(np.int64)
+            cm2 += m["cm2"].astype(np.int64)
+            loss_sum += float(m["loss_sum"])
+            n_new = int(m["count"])
+            loss_count += n_new
+            if n_new:
+                last_loss = float(m["loss_last"])
+            first_bad = int(m["first_bad"])
+            if check_nan and first_bad >= 0:
+                # reference dumps model+batch before raising
+                # (experiment/utils.py:139-157); window bookkeeping maps the
+                # device-reported pass index to its host batch
+                from ..utils.profiling import check_nan as _nan_dump
 
-                    _nan_dump(loss_val, step_input, self.state.params,
-                              dump_path=f"{self.run_dir}/nan_dump.pkl")
-                loss_sum += loss_val
-                loss_count += 1
-                last_loss = loss_val
-                # multi-host: fold only THIS process's addressable rows
-                # (the loader assembled exactly those; LUT rows align)
-                cm = fold_global_confusion(cm, local_shard(aux["confmat_ps"]),
-                                           lut, num_global)
-                cm2 += np.asarray(aux["confmat2"])
-            pending.clear()
+                acc, bad_batch = 0, window[-1][0]
+                for hb, np_ in window:
+                    if first_bad < acc + np_:
+                        bad_batch = hb
+                        break
+                    acc += np_
+                _nan_dump(float("nan"), bad_batch, self.state.params,
+                          dump_path=f"{self.run_dir}/nan_dump.pkl")
+            window.clear()
+            window_px = 0
+            reset_next = True
 
-        substitutor = Substitutor(num_points=num_points, substitute=substitute)
+        # one device key per epoch; each pass derives its rng ON DEVICE as
+        # fold_in(base_rng, step*(N+1)+it) — unique, deterministic, and no
+        # per-pass host key creation (an eager op costing ~90 ms over a
+        # tunneled link; see make_pass_step)
+        base_rng = jax.random.key(self.seed * 100003 + epoch)
         tot_steps = 0
+
+        def after_dispatch(n_new: int, aux, host_batch):
+            nonlocal tot_steps
+            before = tot_steps
+            tot_steps += n_new
+            self.global_train_step += n_new
+            f = self.image_log_frequency
+            if f and tot_steps // f > before // f:
+                from ..utils.visualize import log_batch_images
+
+                # the only place full-resolution preds cross to the host
+                paths = log_batch_images(self.run_dir,
+                                         f"train_e{epoch}_s{tot_steps}",
+                                         host_batch, np.asarray(aux["preds"]),
+                                         np.asarray(aux["gt"]))
+                for p in paths:
+                    self.tracker.log_image(f"train_e{epoch}", p,
+                                           step=self.global_train_step)
+            f = self.log_frequency
+            if (tot_steps // f > before // f) or window_px > px_budget:
+                flush()
+                with self.tracker.phase("train"):
+                    self.tracker.log_metrics(
+                        {"loss": last_loss,
+                         "mIoU": strict_mean_iou_np(cm),
+                         "FBIoU": fb_iou_np(cm2)},
+                        step=self.global_train_step, epoch=epoch)
+
+        def dispatch_passes(device_batch, lut_dev, host_batch, n_passes,
+                            loss_scale, gen_points, px):
+            nonlocal reset_next, window_px
+            use_accum = accumulate and n_passes > 1
+            aux = None
+            for i in range(n_passes):
+                apply_update = (not accumulate) or i == n_passes - 1
+                self.state, self._metrics_dev, device_batch, aux = \
+                    self.pass_step(
+                        self.state, self._metrics_dev, device_batch, lut_dev,
+                        self._pass_index(i), base_rng,
+                        self._reset_flag(reset_next and i == 0), loss_scale,
+                        apply_update=apply_update, use_accum=use_accum,
+                        substitute=substitute, gen_points=gen_points,
+                    )
+                reset_next = False
+            window.append((host_batch, n_passes))
+            window_px += px
+            after_dispatch(n_passes, aux, host_batch)
+
+        def dispatch_chunk(g):
+            nonlocal reset_next, window_px
+            items, g["items"] = g["items"], []
+            stacked_b, stacked_l = self._stack_chunk(
+                [it[0] for it in items], [it[1] for it in items])
+            self.state, self._metrics_dev, aux = self.chunk_step(
+                self.state, self._metrics_dev, stacked_b, stacked_l,
+                base_rng, self._reset_flag(reset_next), g["loss_scale"],
+                accumulate=accumulate, substitute=substitute,
+                gen_points=g["gen_points"],
+            )
+            reset_next = False
+            for (_, _, hb, px) in items:
+                window.append((hb, g["n_passes"]))
+                window_px += px
+            after_dispatch(g["n_passes"] * len(items), aux, items[-1][2])
+
+        groups: Dict[tuple, dict] = {}
         for (device_batch, host), gts, batch in self._prefetched_batches():
             n_passes = gts.shape[1] + 1 if substitute else 1
             loss_scale = 1.0 / n_passes if accumulate else 1.0
-            substitutor.reset(device_batch)
-            for i, (input_dict, gt) in enumerate(substitutor):
-                if self.state is None:
-                    self._lazy_init(input_dict, gt)
-                apply_update = (not accumulate) or i == n_passes - 1
-                # the accum tree is only populated when substitution actually
-                # accumulated earlier passes; single-pass steps take the
-                # no-accum fast path (donated accum passes through untouched)
-                use_accum = accumulate and n_passes > 1
-                rng = jax.random.key(int(epoch_rng.integers(2**31)))
-                self.state, aux = self.train_step(
-                    self.state, input_dict,
-                    jax.device_put(gt, self.data_sharding), rng, loss_scale,
-                    apply_update=apply_update, use_accum=use_accum,
-                )
-                lut = to_global_lut(host[BatchKeys.CLASSES], categories,
-                                    int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
-                pending.append((aux, lut, input_dict if check_nan else None))
+            gen_points = (substitute and num_points > 0
+                          and BatchKeys.PROMPT_POINTS in device_batch)
+            if gen_points:
+                # fixed point-slot extension -> one compiled pass program
+                # for all passes (the reference concatenates per pass)
+                device_batch = preallocate_point_slots(
+                    device_batch, num_points * n_passes)
+            if self.state is None:
+                self._lazy_init(*divide_query_examples(device_batch))
+            if self._metrics_dev is None:
+                self._metrics_dev = jax.device_put(
+                    init_metrics_carry(num_global),
+                    NamedSharding(self.mesh, P()))
+            lut = to_global_lut(
+                host[BatchKeys.CLASSES], categories,
+                int(device_batch[BatchKeys.FLAG_EXAMPLES].shape[2]))
+            # multi-host: each process contributes its local LUT rows; the
+            # device fold then reduces over the GLOBAL batch axis
+            lut_dev = shard_batch({"lut": lut.astype(np.int32)},
+                                  self.mesh)["lut"]
+            px = (gts.shape[0] * gts.shape[-2] * gts.shape[-1]) * n_passes
+            if chunk_k > 1:
+                sig = _batch_signature(device_batch)
+                g = groups.setdefault(sig, {
+                    "items": [], "n_passes": n_passes,
+                    "loss_scale": loss_scale, "gen_points": gen_points})
+                g["items"].append((device_batch, lut_dev, batch, px))
+                if len(g["items"]) == chunk_k:
+                    dispatch_chunk(g)
+            else:
+                dispatch_passes(device_batch, lut_dev, batch, n_passes,
+                                loss_scale, gen_points, px)
 
-                substitutor.generate_new_points(
-                    aux["preds"], gt,
-                    jax.random.key(int(epoch_rng.integers(2**31))),
-                    num_classes=int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]),
-                )
-                tot_steps += 1
-                self.global_train_step += 1
-                if (self.image_log_frequency
-                        and tot_steps % self.image_log_frequency == 0):
-                    from ..utils.visualize import log_batch_images
-
-                    # the only place full-resolution preds cross to the host
-                    paths = log_batch_images(self.run_dir,
-                                             f"train_e{epoch}_s{tot_steps}",
-                                             batch, np.asarray(aux["preds"]),
-                                             np.asarray(gt))
-                    for p in paths:
-                        self.tracker.log_image(f"train_e{epoch}", p,
-                                               step=self.global_train_step)
-                if tot_steps % self.log_frequency == 0:
-                    flush()
-                    with self.tracker.phase("train"):
-                        self.tracker.log_metrics(
-                            {"loss": last_loss,
-                             "mIoU": strict_mean_iou_np(cm),
-                             "FBIoU": fb_iou_np(cm2)},
-                            step=self.global_train_step, epoch=epoch)
+        # leftover (< chunk_k) groups run through the per-pass program
+        for g in groups.values():
+            for (db, ld, hb, px) in g["items"]:
+                dispatch_passes(db, ld, hb, g["n_passes"], g["loss_scale"],
+                                g["gen_points"], px)
 
         flush()
-        cm = allreduce_host(cm)  # cm2/loss are already global (device-summed)
+        # the device fold already reduced over the global batch axis (the
+        # LUT/batch are process-sharded, the carry replicated), so cm/cm2/
+        # loss are GLOBAL on every process — no host allreduce needed
         metrics = {
             "loss": loss_sum / max(loss_count, 1),
             "miou": strict_mean_iou_np(cm),
@@ -620,33 +744,45 @@ class Run:
         num_global = len(categories) + 1
         cm = np.zeros((num_global, num_global), np.int64)
         cm2 = np.zeros((2, 2), np.int64)
-        substitutor = Substitutor(substitute=False)
         val_step = 0
-        pending: List[tuple] = []
+        repl = NamedSharding(self.mesh, P())
+        # device metric carry: confusion matrices fold on device through the
+        # per-batch LUT and the host fetches ONE pytree per int32-exactness
+        # window (each fetch is a full tunnel round trip — see train_epoch)
+        metrics_dev = None
+        window_px, px_budget = 0, 2 ** 30
 
-        def flush():
-            nonlocal cm, cm2
-            for aux, lut in pending:
-                cm = fold_global_confusion(cm, local_shard(aux["confmat_ps"]),
-                                           lut, num_global)
-                cm2 += np.asarray(aux["confmat2"])
-            pending.clear()
+        def fetch():
+            nonlocal cm, cm2, metrics_dev, window_px
+            if metrics_dev is None:
+                return
+            m = local_shard(metrics_dev)
+            cm += m["cm"].astype(np.int64)
+            cm2 += m["cm2"].astype(np.int64)
+            metrics_dev = None
+            window_px = 0
 
         for (batch, gts), _ in loader:
             # single pass: prompts come from rows 1..N (query = row 0), so
             # the modality check sees exactly what the reference's does
             device_batch, host = self._device_batch(
                 batch, example_rows=slice(1, None))
-            substitutor.reset(device_batch)
-            input_dict, gt = next(substitutor)
             if self.state is None:
-                self._lazy_init(input_dict, gt)
-            aux = self._eval_forward(input_dict, gt)
-            lut = to_global_lut(host[BatchKeys.CLASSES], categories,
-                                int(input_dict[BatchKeys.FLAG_EXAMPLES].shape[2]))
-            pending.append((aux, lut))
-            if len(pending) >= self.log_frequency:
-                flush()
+                self._lazy_init(*divide_query_examples(device_batch))
+            if metrics_dev is None:
+                metrics_dev = jax.device_put(
+                    {"cm": np.zeros((num_global, num_global), np.int32),
+                     "cm2": np.zeros((2, 2), np.int32)}, repl)
+            lut = to_global_lut(
+                host[BatchKeys.CLASSES], categories,
+                int(device_batch[BatchKeys.FLAG_EXAMPLES].shape[2]))
+            lut_dev = shard_batch({"lut": lut.astype(np.int32)},
+                                  self.mesh)["lut"]
+            metrics_dev, aux = self._eval_forward_batch(num_global)(
+                self.state.params, metrics_dev, device_batch, lut_dev)
+            window_px += gts.shape[0] * gts.shape[-2] * gts.shape[-1]
+            if window_px > px_budget:
+                fetch()
             val_step += 1
             # epoch-indexed prompt-overlay grids, the JSONL counterpart of
             # the reference's per-epoch validation image tables
@@ -657,12 +793,13 @@ class Run:
 
                 paths = log_batch_images(
                     self.run_dir, f"val_{name}_e{epoch}_s{val_step}",
-                    batch, np.asarray(aux["preds"]), np.asarray(gt))
+                    batch, np.asarray(aux["preds"]), np.asarray(aux["gt"]))
                 for p in paths:
                     self.tracker.log_image(f"val_{name}_e{epoch}", p,
                                            step=val_step)
-        flush()
-        cm = allreduce_host(cm)  # cm2 is already a global device sum
+        fetch()
+        # the device fold reduced over the global (process-sharded) batch
+        # axis, so cm/cm2 are already global on every process
         # same triple as the reference validate_run return (run.py:735-742)
         return {
             "miou": strict_mean_iou_np(cm),
@@ -783,6 +920,79 @@ class Run:
             self.tracker.log_metrics(metrics)
         logger.info("test %s: %s", name, {k: round(v, 4) for k, v in metrics.items()})
         return metrics
+
+    def _pass_index(self, i: int):
+        """Pass index as a pre-staged replicated device scalar: every
+        argument of the fused pass dispatch stays device-resident (a host
+        scalar arg would insert a transfer into each step's critical path)."""
+        cache = getattr(self, "_pass_idx_cache", None)
+        if cache is None:
+            cache = self._pass_idx_cache = {}
+        if i not in cache:
+            cache[i] = jax.device_put(np.int32(i),
+                                      NamedSharding(self.mesh, P()))
+        return cache[i]
+
+    def _reset_flag(self, flag: bool):
+        """Metric-window reset as a pre-staged replicated device scalar (a
+        TRACED argument — a static flag would double every compiled step)."""
+        cache = getattr(self, "_reset_flag_cache", None)
+        if cache is None:
+            cache = self._reset_flag_cache = {
+                b: jax.device_put(np.int32(b),
+                                  NamedSharding(self.mesh, P()))
+                for b in (False, True)}
+        return cache[bool(flag)]
+
+    def _stack_chunk(self, batches, luts):
+        """Stack K same-signature staged batches (+ their LUTs) on a new
+        leading axis for the chunked scan dispatch — ONE jitted device op;
+        inputs are donated (the staged per-batch buffers die here)."""
+        if getattr(self, "_stack_fn", None) is None:
+            kdata = NamedSharding(self.mesh, P(None, "data"))
+            self._stack_fn = jax.jit(
+                lambda bs, ls: (jax.tree.map(lambda *xs: jnp.stack(xs), *bs),
+                                jnp.stack(ls)),
+                donate_argnums=(0, 1), out_shardings=kdata)
+        return self._stack_fn(batches, luts)
+
+    def _eval_forward_batch(self, num_global: int):
+        """Eval program over the FULL episode batch: the query/example split,
+        forward, argmax, and the LUT-folded confusion accumulation all run
+        inside ONE jit (eagerly it is ~8 dispatches + 3 fetches per batch —
+        see make_pass_step's rationale). The metric carry is donated; aux
+        holds sharded preds/gt for infrequent image logging only."""
+        cache = getattr(self, "_eval_batch_fns", None)
+        if cache is None:
+            cache = self._eval_batch_fns = {}
+        if num_global not in cache:
+            from ..train.metrics import (binary_confusion_matrix,
+                                         confusion_matrix_per_sample,
+                                         fold_confusion_global)
+            params_sh = NamedSharding(self.mesh, P())
+            repl = params_sh
+
+            def fn(params, metrics, full_batch, lut):
+                batch, gt = divide_query_examples(full_batch)
+                result = self.model.apply(params["model"], batch,
+                                          deterministic=True)
+                logits = result[ResultDict.LOGITS]
+                preds = jnp.argmax(logits, axis=1)
+                metrics = {
+                    "cm": metrics["cm"] + fold_confusion_global(
+                        confusion_matrix_per_sample(
+                            preds, gt, logits.shape[1]), lut, num_global),
+                    "cm2": metrics["cm2"]
+                    + binary_confusion_matrix(preds, gt),
+                }
+                return metrics, {"preds": preds, "gt": gt}
+
+            cache[num_global] = jax.jit(
+                fn, donate_argnums=(1,),
+                in_shardings=(params_sh, repl, self.data_sharding,
+                              self.data_sharding),
+                out_shardings=(repl, None))
+        return cache[num_global]
 
     def _eval_forward(self, input_dict, gt):
         if not hasattr(self, "_eval_fn") or self._eval_fn is None:

@@ -32,6 +32,17 @@ from ..ops.attention import dot_product_attention
 from .common import LayerNorm2d, MLPBlock
 
 
+def _prepart_disabled() -> bool:
+    """Kill switch for the pre-partition windowed path (A/B forensics).
+
+    Read at TRACE time: set LA_TPU_DISABLE_PREPART=1 before the first
+    compilation; '', '0' and 'false' leave the fast path on."""
+    import os
+
+    return os.environ.get("LA_TPU_DISABLE_PREPART", "").strip().lower() \
+        not in ("", "0", "false")
+
+
 def window_partition(x: jax.Array, window_size: int) -> Tuple[jax.Array, Tuple[int, int]]:
     """(B, H, W, C) -> (B * nW, ws, ws, C) with bottom/right zero padding
     (reference: image_encoder.py:258-280)."""
@@ -129,9 +140,12 @@ class ViTAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array,
-                 residual: Optional[jax.Array] = None) -> jax.Array:
+                 residual: Optional[jax.Array] = None,
+                 full_map: bool = False) -> jax.Array:
         if residual is not None:
             return self._fused_window(x, residual)
+        if full_map:
+            return self._window_attention(x)
         if self.tp_mesh is not None and self.use_rel_pos:
             return self._tp_attention(x)
         b, h, w, _ = x.shape
@@ -368,6 +382,76 @@ class ViTAttention(nn.Module):
         )(x.astype(self.dtype), w_h, b_h, wp, rh_table, rw_table)
         return out + bproj.astype(self.dtype)
 
+    def _window_attention(self, xn: jax.Array) -> jax.Array:
+        """Windowed attention over the FULL-RES normed map with the window
+        axis FLATTENED before the projections (the reference projects on
+        (nW, ws, ws, C) windows, image_encoder.py:174-180 + 200-232).
+
+        Round-3 profiling (xplane, ViT-B@1024 batch 8) showed the
+        windows-as-2D order costing ~0.8 ms/block of pure HBM relayout: the
+        qkv convolution on (nW, ws, ws, C) emits a (ws, ws)-subtiled layout
+        the lanes kernel cannot read (ws=14 rows pad to 16 sublanes, so the
+        (14, 14) -> 196 merge is a real copy — 0.57 ms/block), plus an
+        unpartition copy-train around the proj. Flattening windows to
+        (G, ws*ws, C) tokens FIRST makes qkv a plain matmul born in the
+        token-major row-major layout the kernel's BlockSpecs read, and proj
+        consumes the kernel output the same way — the only relayouts left
+        are one window partition of the 768-wide x and one unpartition of
+        the 768-wide output. (An intermediate attempt projected qkv on the
+        unpartitioned (B, H, W, 3C) map and partitioned the 3C stream: XLA
+        materialized pad + transpose + sublane-merge as THREE full passes
+        over the 180 MB stream — 6 ms/step SLOWER, kept here as the
+        negative result.) Zero-padding happens before qkv, exactly like
+        window_partition, so pad tokens see qkv = bias like the reference."""
+        assert self.use_rel_pos and self.window_size > 0
+        ws = self.window_size
+        b, h, w, _ = xn.shape
+        c = self.dim
+        head_dim = c // self.num_heads
+        scale = head_dim ** -0.5
+        from ..ops.flash_attention import (
+            _LOG2E, flash_attention_relpos_lanes_batched)
+
+        qkv_dense = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                             name="qkv")
+        proj_dense = nn.Dense(c, dtype=self.dtype, name="proj")
+        rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.input_size[0] - 1, head_dim))
+        rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.input_size[1] - 1, head_dim))
+        rh_table = get_rel_pos(ws, ws, rel_pos_h).astype(self.dtype)
+        rw_table = get_rel_pos(ws, ws, rel_pos_w).astype(self.dtype)
+
+        # zero-pad BEFORE qkv, exactly like window_partition (pad tokens
+        # then see qkv = bias, matching the reference bit-for-bit)
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        if pad_h or pad_w:
+            xn = jnp.pad(xn, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp_ = h + pad_h, w + pad_w
+        nh, nw = hp // ws, wp_ // ws
+        g, n = b * nh * nw, ws * ws
+        xw = (xn.reshape(b, nh, ws, nw, ws, c)
+              .transpose(0, 1, 3, 2, 4, 5).reshape(g, n, c))
+        qkvw = qkv_dense(xw)                              # (G, N, 3C)
+
+        q4 = qkvw[..., :c].reshape(g, ws, ws, self.num_heads, head_dim)
+        rel_h = jnp.einsum("gyxnc,ykc->gyxnk", q4, rh_table)
+        rel_w = jnp.einsum("gyxnc,xkc->gyxnk", q4, rw_table)
+        r = (jnp.concatenate([rel_h, rel_w], axis=-1)
+             * jnp.asarray(_LOG2E, self.dtype))
+        out = flash_attention_relpos_lanes_batched(
+            qkvw, r.reshape(g, n, self.num_heads * 2 * ws),
+            scale, (ws, ws), self.num_heads)              # (g, n, C)
+        # proj on flat window tokens (row-major in, row-major out — no
+        # relayout), THEN one unpartition copy back to the residual layout
+        out = proj_dense(out)
+        x = (out.reshape(b, nh, nw, ws, ws, c)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp_, c))
+        if pad_h or pad_w:
+            x = x[:, :h, :w]
+        return x
+
     def _fused_window(self, xn: jax.Array, residual: jax.Array) -> jax.Array:
         """Fused windowed path (ops/fused_window.py): ``xn`` is the FULL-RES
         normed map; padding, window partition, qkv, rel-pos attention, proj,
@@ -478,9 +562,22 @@ class ViTBlock(nn.Module):
         fused = (self.window_size > 0 and self.use_rel_pos and self.use_kernel
                  and self.tp_mesh is None
                  and _fw._ENABLE and (_on_tpu() or _fw._INTERPRET))
+        from ..ops.flash_attention import _BLOCK_Q
+        # pre-partition path: qkv/proj on the full-res map, ONE relayout
+        # each way (see ViTAttention._window_attention) — eligibility
+        # mirrors the batched lanes kernel's
+        prepart = (self.window_size > 0 and self.use_rel_pos
+                   and self.use_kernel and self.tp_mesh is None
+                   and not fused and _on_tpu()
+                   and self.window_size ** 2 <= _BLOCK_Q
+                   and self.dim // self.num_heads == 64
+                   and self.num_heads % 2 == 0
+                   and not _prepart_disabled())
         if fused:
             # partition/attention/unpartition/residual in one pallas_call
             x = attn(x, residual=shortcut)
+        elif prepart:
+            x = shortcut + attn(x, full_map=True)
         else:
             if self.window_size > 0:
                 h, w = x.shape[1], x.shape[2]

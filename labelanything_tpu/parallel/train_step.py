@@ -179,6 +179,342 @@ def make_train_step(
     return train_step
 
 
+def _episode_axis_len(batch) -> int:
+    """Static image-axis length N of an episode batch (query + examples)."""
+    key = (BatchKeys.IMAGES if BatchKeys.IMAGES in batch
+           else BatchKeys.EMBEDDINGS)
+    value = batch[key]
+    if isinstance(value, dict):  # pyramid-cache stage dict
+        value = next(iter(value.values()))
+    return value.shape[1]
+
+
+def init_metrics_carry(num_global: int) -> Dict[str, jax.Array]:
+    """Device-resident training-metrics window accumulator, carried (and
+    donated) through the fused pass/chunk programs so the host fetches ONE
+    small pytree per ``log_frequency`` window instead of three arrays per
+    pass (each fetch is a full tunnel round trip; see make_pass_step).
+
+    ``cm`` counts int32 pixels folded through the episode->global LUT;
+    ``first_bad`` records the window-relative index of the first non-finite
+    loss (-1 = clean) so the NaN sentinel can map back to the offending
+    host batch."""
+    return {
+        "cm": jnp.zeros((num_global, num_global), jnp.int32),
+        "cm2": jnp.zeros((2, 2), jnp.int32),
+        "loss_sum": jnp.zeros((), jnp.float32),
+        "loss_last": jnp.zeros((), jnp.float32),
+        "count": jnp.zeros((), jnp.int32),
+        "first_bad": jnp.full((), -1, jnp.int32),
+    }
+
+
+def _reset_window(metrics, reset):
+    """Zero the metric window when ``reset`` != 0 — a TRACED scalar, not a
+    static flag, so fetch-and-reset after a flush reuses the same compiled
+    executable (a static flag would double every pass/chunk compile)."""
+    keep = jnp.asarray(reset, jnp.int32) == 0
+    out = {k: jnp.where(keep, v, jnp.zeros_like(v))
+           for k, v in metrics.items() if k != "first_bad"}
+    out["first_bad"] = jnp.where(keep, metrics["first_bad"], -1)
+    return out
+
+
+def make_pass_step(
+    model,
+    loss_module: LabelAnythingLoss,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    state_shardings: Optional[Any] = None,
+    num_points: int = 1,
+    num_global: int = 2,
+) -> Callable:
+    """Build the fused substitution-pass program: ONE jitted dispatch per
+    pass carrying the image-axis rotation, the query/example split, on-device
+    rng derivation, forward/backward/update, metric-window accumulation
+    (LUT-folded global confusion, binary confusion, loss statistics), and
+    error-point generation + write-back.
+
+    Motivation: the reference runs these stages as separate host-driven ops
+    (substitution.py:99-275 around the train step, experiment/run.py:340-372)
+    which torch's eager runtime absorbs; under JAX each eager device op is a
+    full dispatch — over a tunneled link 15-90 ms each — so the round-2 loop
+    serialized the host against the device. Fusing the whole pass into the
+    step (metrics included, carried in a donated device accumulator) makes
+    the train loop's steady state exactly one async dispatch per pass with
+    every argument device-resident and ZERO per-pass fetches.
+
+    Returned signature::
+
+        pass_step(state, metrics, batch, lut, it, base_rng, loss_scale, *,
+                  apply_update, use_accum, substitute, gen_points,
+                  reset_metrics)
+            -> (state, metrics, batch, aux)
+
+    ``batch`` is the FULL episode batch (query slot included, point slots
+    preallocated when substituting); ``lut`` the per-sample episode->global
+    class LUT (B, C_ep) int32; ``it`` the pass index as a device/int32
+    scalar (0 = identity permutation); ``base_rng`` a per-epoch key — the
+    pass rng is ``fold_in(base_rng, step*(N+1)+it)``, unique and
+    deterministic across passes and restarts. ``reset_metrics`` (static)
+    zeroes the metric window at entry — the host sets it on the first
+    dispatch after a flush, so fetch-and-reset costs no extra dispatch.
+    ``state``, ``metrics`` and ``batch`` are donated. ``aux`` carries only
+    sharded ``preds``/``gt`` for infrequent image logging — never fetched
+    in the steady state."""
+    core = _make_pass_core(model, loss_module, tx, num_points, num_global)
+
+    if mesh is None:
+        jitted = jax.jit(
+            core,
+            static_argnames=("loss_scale", "apply_update", "use_accum",
+                             "substitute", "gen_points"),
+            donate_argnums=(0, 1, 2))
+
+        def pass_step_local(state, metrics, batch, lut, it, base_rng,
+                            reset, loss_scale, *,
+                            apply_update: bool = True,
+                            use_accum: bool = True,
+                            substitute: bool = False,
+                            gen_points: bool = False):
+            return jitted(state, metrics, batch, lut, it, base_rng, reset,
+                          loss_scale=float(loss_scale),
+                          apply_update=apply_update, use_accum=use_accum,
+                          substitute=substitute, gen_points=gen_points)
+
+        pass_step_local.raw = core
+        return pass_step_local
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state_sh = state_shardings if state_shardings is not None else repl
+
+    @functools.lru_cache(maxsize=None)
+    def make(apply_update: bool, use_accum: bool, loss_scale: float,
+             substitute: bool, gen_points: bool):
+        return jax.jit(
+            functools.partial(core, loss_scale=loss_scale,
+                              apply_update=apply_update, use_accum=use_accum,
+                              substitute=substitute, gen_points=gen_points),
+            donate_argnums=(0, 1, 2),
+            in_shardings=(state_sh, repl, data, data, repl, repl, repl),
+            out_shardings=(state_sh, repl, data, None),
+        )
+
+    def pass_step(state, metrics, batch, lut, it, base_rng, reset,
+                  loss_scale, *,
+                  apply_update: bool = True, use_accum: bool = True,
+                  substitute: bool = False, gen_points: bool = False):
+        fn = make(apply_update, use_accum, float(loss_scale), substitute,
+                  gen_points)
+        return fn(state, metrics, batch, lut, it, base_rng, reset)
+
+    return pass_step
+
+
+def _make_pass_core(model, loss_module: LabelAnythingLoss,
+                    tx: optax.GradientTransformation,
+                    num_points: int, num_global: int) -> Callable:
+    """The traced body shared by make_pass_step (one pass per dispatch) and
+    make_chunk_step (scan over K batches x unrolled passes per dispatch)."""
+    from ..train.metrics import fold_confusion_global
+    from ..train.substitutor import (_write_query_points,
+                                     divide_query_examples,
+                                     generate_points_from_errors,
+                                     permute_batch,
+                                     rotation_permutation_traced)
+
+    def loss_fn(params, batch, gt, rng):
+        rngs = {
+            "class_rows": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+        }
+        result = model.apply(
+            params["model"], batch, deterministic=False, rngs=rngs
+        )
+        loss_out = loss_module.apply(params["loss"], result, gt)
+        return loss_out[LossDict.VALUE], result[ResultDict.LOGITS]
+
+    def pass_fn(state: TrainState, metrics, batch, lut, it, base_rng,
+                reset, *,
+                loss_scale: float, apply_update: bool, use_accum: bool,
+                substitute: bool, gen_points: bool):
+        metrics = _reset_window(metrics, reset)
+        it = jnp.asarray(it, jnp.int32)
+        n = _episode_axis_len(batch)
+        n_passes = n + 1 if substitute else 1
+        if substitute:
+            batch = permute_batch(batch,
+                                  rotation_permutation_traced(it, n))
+        input_dict, gt = divide_query_examples(batch)
+        rng = jax.random.fold_in(base_rng, state.step * n_passes + it)
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, input_dict, gt, rng)
+        if loss_scale != 1.0:
+            grads = jax.tree.map(lambda g: g * loss_scale, grads)
+
+        if apply_update:
+            total = (jax.tree.map(jnp.add, state.accum, grads)
+                     if use_accum else grads)
+            updates, opt_state = tx.update(total, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                accum=(jax.tree.map(jnp.zeros_like, total)
+                       if use_accum else state.accum),
+                step=state.step + 1,
+            )
+        else:
+            new_state = state._replace(
+                accum=jax.tree.map(jnp.add, state.accum, grads))
+
+        preds = jnp.argmax(logits, axis=1)
+        bad = ~jnp.isfinite(loss)
+        metrics = {
+            "cm": metrics["cm"] + fold_confusion_global(
+                confusion_matrix_per_sample(preds, gt, logits.shape[1]),
+                lut, num_global),
+            "cm2": metrics["cm2"] + binary_confusion_matrix(preds, gt),
+            "loss_sum": metrics["loss_sum"] + loss,
+            "loss_last": loss,
+            "count": metrics["count"] + 1,
+            "first_bad": jnp.where((metrics["first_bad"] < 0) & bad,
+                                   metrics["count"], metrics["first_bad"]),
+        }
+        aux = {"preds": preds, "gt": gt}
+        if gen_points:
+            points, labels = generate_points_from_errors(
+                preds, gt, jax.random.fold_in(rng, 2),
+                num_classes=logits.shape[1], num_points=num_points)
+            slot = (batch[BatchKeys.PROMPT_POINTS].shape[3]
+                    - num_points * n_passes
+                    + it * num_points)
+            batch = _write_query_points(batch, points, labels, slot)
+        return new_state, metrics, batch, aux
+
+    return pass_fn
+
+
+def make_chunk_step(
+    model,
+    loss_module: LabelAnythingLoss,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    state_shardings: Optional[Any] = None,
+    num_points: int = 1,
+    num_global: int = 2,
+) -> Callable:
+    """Multi-batch training dispatch: a ``lax.scan`` over K same-shape
+    episode batches, each running its full (unrolled) substitution-pass
+    sequence through the shared pass core — K * n_passes optimizer-visible
+    passes in ONE dispatch.
+
+    Rationale: with metrics accumulated on device (make_pass_step) the
+    remaining host cost is the dispatch itself (~8-13 ms per call over the
+    tunneled dev link, and ~100 us even on a local TPU VM host); scanning K
+    pre-staged batches divides it by K, which is what closes the gap between
+    the orchestrated train loop and the pure device-loop benchmark. The
+    reference has no counterpart — its eager runtime pays per-op, not
+    per-step, costs (experiment/run.py:425-590).
+
+    Returned signature::
+
+        chunk_step(state, metrics, batches, luts, base_rng, loss_scale, *,
+                   accumulate, substitute, gen_points, reset_metrics)
+            -> (state, metrics, aux)
+
+    ``batches``/``luts`` are the per-batch pytrees stacked on a new leading
+    K axis (device-resident; see Run._stack_chunk). Within each batch the
+    pass loop is unrolled (n_passes is static); ``accumulate`` selects
+    gradient accumulation across its passes with the update on the last.
+    ``aux`` carries the LAST batch's final-pass preds/gt for image logging.
+    ``state``, ``metrics`` and ``batches`` are donated."""
+    from ..train.substitutor import divide_query_examples
+
+    core = _make_pass_core(model, loss_module, tx, num_points, num_global)
+
+    def chunk_fn(state: TrainState, metrics, batches, luts, base_rng,
+                 reset, *,
+                 loss_scale: float, accumulate: bool, substitute: bool,
+                 gen_points: bool):
+        metrics = _reset_window(metrics, reset)
+        sample = jax.tree.map(lambda x: x[0], batches)
+        n = _episode_axis_len(sample)
+        n_passes = n + 1 if substitute else 1
+        use_accum = accumulate and n_passes > 1
+
+        _, gt0 = jax.eval_shape(divide_query_examples, sample)
+        preds0 = jnp.zeros(gt0.shape, jnp.int32)
+        gtz = jnp.zeros(gt0.shape, gt0.dtype)
+
+        def body(carry, xs):
+            state, metrics, _, _ = carry
+            batch, lut = xs
+            aux = None
+            for it in range(n_passes):
+                apply_update = (not accumulate) or it == n_passes - 1
+                state, metrics, batch, aux = core(
+                    state, metrics, batch, lut, it, base_rng,
+                    jnp.zeros((), jnp.int32),
+                    loss_scale=loss_scale, apply_update=apply_update,
+                    use_accum=use_accum, substitute=substitute,
+                    gen_points=gen_points)
+            return (state, metrics, aux["preds"], aux["gt"]), None
+
+        (state, metrics, preds, gt), _ = jax.lax.scan(
+            body, (state, metrics, preds0, gtz), (batches, luts))
+        return state, metrics, {"preds": preds, "gt": gt}
+
+    if mesh is None:
+        jitted = jax.jit(
+            chunk_fn,
+            static_argnames=("loss_scale", "accumulate", "substitute",
+                             "gen_points"),
+            donate_argnums=(0, 1, 2))
+
+        def chunk_step_local(state, metrics, batches, luts, base_rng,
+                             reset, loss_scale, *, accumulate: bool = False,
+                             substitute: bool = False,
+                             gen_points: bool = False):
+            return jitted(state, metrics, batches, luts, base_rng, reset,
+                          loss_scale=float(loss_scale),
+                          accumulate=accumulate, substitute=substitute,
+                          gen_points=gen_points)
+
+        chunk_step_local.raw = chunk_fn
+        return chunk_step_local
+
+    repl = NamedSharding(mesh, P())
+    # stacked batches: K leading, batch axis second
+    kdata = NamedSharding(mesh, P(None, "data"))
+    state_sh = state_shardings if state_shardings is not None else repl
+
+    @functools.lru_cache(maxsize=None)
+    def make(accumulate: bool, loss_scale: float, substitute: bool,
+             gen_points: bool):
+        return jax.jit(
+            functools.partial(chunk_fn, loss_scale=loss_scale,
+                              accumulate=accumulate, substitute=substitute,
+                              gen_points=gen_points),
+            donate_argnums=(0, 1, 2),
+            in_shardings=(state_sh, repl, kdata, kdata, repl, repl),
+            out_shardings=(state_sh, repl, None),
+        )
+
+    def chunk_step(state, metrics, batches, luts, base_rng, reset,
+                   loss_scale, *,
+                   accumulate: bool = False, substitute: bool = False,
+                   gen_points: bool = False):
+        fn = make(accumulate, float(loss_scale), substitute, gen_points)
+        return fn(state, metrics, batches, luts, base_rng, reset)
+
+    return chunk_step
+
+
 def make_eval_step(model, num_classes: int, mesh: Optional[Mesh] = None) -> Callable:
     """Jitted eval step returning confusion-matrix contributions."""
 

@@ -49,6 +49,26 @@ def confusion_matrix_per_sample(preds: jax.Array, target: jax.Array,
     return jnp.round(cm).astype(jnp.int32)
 
 
+def fold_confusion_global(cm_ps: jax.Array, lut: jax.Array,
+                          num_global: int) -> jax.Array:
+    """Fold per-sample EPISODE confusion matrices (B, C_ep, C_ep) through
+    per-sample episode->global class LUTs (B, C_ep) into one (G, G) int32
+    global matrix — the DEVICE counterpart of the host
+    ``fold_global_confusion`` (experiment/run.py), numerically identical.
+
+    Computed per sample in fp32 (cells bounded by H*W <= 2^24, exact) and
+    summed over the batch as integers, so large batches at high resolution
+    never cross fp32's exact-count range. Keeping this inside the jitted
+    train pass removes the per-step device->host confusion fetch — over a
+    tunneled link a ~24 ms round trip per pass (reference gathers every
+    log_frequency: experiment/run.py:374-389)."""
+    classes = jnp.arange(num_global, dtype=lut.dtype)
+    oh = (lut[..., None] == classes).astype(jnp.float32)     # (B, Cp, G)
+    per = jnp.einsum("bpg,bpq,bqh->bgh", oh,
+                     cm_ps.astype(jnp.float32), oh)
+    return jnp.round(per).astype(jnp.int32).sum(axis=0)
+
+
 def iou_per_class(confmat: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Returns (iou (C,), support-valid mask (C,))."""
     tp = jnp.diagonal(confmat)

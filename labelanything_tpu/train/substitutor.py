@@ -148,15 +148,13 @@ def preallocate_point_slots(batch: Dict[str, jax.Array], extra: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("slot",))
-def write_query_points(
-    batch: Dict[str, jax.Array], points: jax.Array, labels: jax.Array, slot: int
-):
-    """Write error points into the query slot's preallocated point slots
-    (shape-stable equivalent of the reference's concatenation,
-    substitution.py:161-197)."""
+def _write_query_points(batch: Dict[str, jax.Array], points: jax.Array,
+                        labels: jax.Array, slot) -> Dict[str, jax.Array]:
+    """Core of ``write_query_points``; ``slot`` may be a traced scalar
+    (``dynamic_update_slice`` takes traced starts), which lets the fused
+    pass program (parallel/train_step.py make_pass_step) compute the slot
+    from the pass index on device."""
     out = dict(batch)
-    n = points.shape[2]
     out[BatchKeys.PROMPT_POINTS] = jax.lax.dynamic_update_slice(
         out[BatchKeys.PROMPT_POINTS],
         points[:, None].astype(out[BatchKeys.PROMPT_POINTS].dtype),
@@ -167,6 +165,40 @@ def write_query_points(
         labels[:, None].astype(out[BatchKeys.FLAG_POINTS].dtype),
         (0, 0, 0, slot),
     )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("slot",))
+def write_query_points(
+    batch: Dict[str, jax.Array], points: jax.Array, labels: jax.Array, slot: int
+):
+    """Write error points into the query slot's preallocated point slots
+    (shape-stable equivalent of the reference's concatenation,
+    substitution.py:161-197)."""
+    return _write_query_points(batch, points, labels, slot)
+
+
+def rotation_permutation_traced(it: jax.Array, n: int) -> jax.Array:
+    """``rotation_permutation`` as device arithmetic on a TRACED pass index
+    ``it`` (0 = identity), so a single compiled pass program serves every
+    substitution pass — the host never builds per-pass executables or
+    transfers an index tuple (reference: substitution.py:237-252)."""
+    j = jnp.arange(n, dtype=jnp.int32)
+    it = jnp.asarray(it, jnp.int32)
+    lt = jnp.where(j == 0, it, jnp.where(j <= it, j - 1, j))
+    eq = jnp.where(j == 0, n - 1, jnp.where(j == n - 1, 0, j))
+    return jnp.where(it == n, eq, lt)
+
+
+def permute_batch(batch: Dict[str, jax.Array], perm: jax.Array
+                  ) -> Dict[str, jax.Array]:
+    """Apply an image-axis permutation (traced or concrete) to every
+    exchangeable key; non-exchange keys pass through untouched."""
+    out = dict(batch)
+    for key in _KEYS_TO_EXCHANGE:
+        if key in out:
+            out[key] = jax.tree.map(lambda x: jnp.take(x, perm, axis=1),
+                                    out[key])
     return out
 
 

@@ -124,6 +124,7 @@ class CocoLVISDataset:
         all_example_categories: bool = True,
         sample_function: str = "power_law",
         custom_preprocess: bool = True,
+        device_normalize: bool = False,
         seed: Optional[int] = None,
     ):
         if load_embeddings is None:
@@ -150,6 +151,10 @@ class CocoLVISDataset:
         self.all_example_categories = all_example_categories
         self.sample_function = sample_function
         self.custom_preprocess = custom_preprocess
+        # uint8 ingest: ship resized+padded uint8 pixels and normalize on
+        # device (ops/image_norm.py) — 4x fewer host->device bytes and no
+        # fp32 normalization passes on the loader workers
+        self.device_normalize = device_normalize
         self.rng = EpisodeRng(seed)
 
         instances = load_instances(instances_path)
@@ -253,7 +258,8 @@ class CocoLVISDataset:
         images = []
         for i in image_ids:
             arr, _ = preprocess_image(self._load_image(self.images[i]),
-                                      self.image_size, self.custom_preprocess)
+                                      self.image_size, self.custom_preprocess,
+                                      normalize=not self.device_normalize)
             images.append(arr)
         return np.stack(images), BatchKeys.IMAGES, None
 

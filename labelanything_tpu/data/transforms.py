@@ -62,9 +62,16 @@ class CustomNormalize:
 
 
 def preprocess_image(image: Image.Image, long_side_length: int,
-                     custom: bool = True) -> Tuple[np.ndarray, Tuple[int, int]]:
+                     custom: bool = True,
+                     normalize: bool = True) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Full pipeline: long-side resize -> normalize -> pad. Returns the
-    padded (S, S, 3) array and the original (H, W)."""
+    padded (S, S, 3) array and the original (H, W).
+
+    ``normalize=False`` is the uint8 ingest path: resize + bottom-right pad
+    only, returning (S, S, 3) uint8 — 4x fewer host->device bytes and no
+    fp32 passes on the loader workers; the model then normalizes on device
+    (ops/image_norm.py), bit-matching CustomNormalize incl. the zero pad in
+    the normalized frame (reference: data/transforms.py:27-46)."""
     w, h = image.size
     if image.mode != "RGB":
         image = image.convert("RGB")
@@ -72,6 +79,12 @@ def preprocess_image(image: Image.Image, long_side_length: int,
         image = CustomResize(long_side_length)(image)
     else:
         image = image.resize((long_side_length, long_side_length), Image.BILINEAR)
+    if not normalize:
+        arr = np.asarray(image, np.uint8)
+        s = long_side_length
+        out = np.zeros((s, s, 3), np.uint8)
+        out[:arr.shape[0], :arr.shape[1]] = arr
+        return out, (h, w)
     return CustomNormalize(long_side_length)(image), (h, w)
 
 

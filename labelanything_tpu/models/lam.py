@@ -90,7 +90,7 @@ class Lam(nn.Module):
                     flat = self.neck(flat)
                     embeddings = flat.reshape((b, n) + flat.shape[1:])
         elif BatchKeys.IMAGES in batched_input:
-            images = batched_input[BatchKeys.IMAGES]
+            images = self._maybe_normalize(batched_input)
             b, n = images.shape[:2]
             flat = images.reshape((b * n,) + images.shape[2:])
             flat = self.image_encoder(flat)
@@ -100,6 +100,16 @@ class Lam(nn.Module):
         else:
             raise ValueError("Either 'images' or 'embeddings' must be provided.")
         return embeddings[:, 0], embeddings[:, 1:]
+
+    def _maybe_normalize(self, batched_input) -> jax.Array:
+        """uint8 ingest path: pixels ship unnormalized (4x fewer bytes) and
+        CustomNormalize's semantics run on device (ops/image_norm.py;
+        reference host op: data/transforms.py:27-46)."""
+        from ..ops.image_norm import maybe_normalize_images
+
+        return maybe_normalize_images(
+            batched_input[BatchKeys.IMAGES], batched_input[BatchKeys.DIMS],
+            self.image_size, self.custom_preprocess)
 
     def _fuse_pyramid(self, pyramid: Dict[str, jax.Array]) -> jax.Array:
         """Fuse a {"stageN": (B, N, H, W, C)} pyramid-cache dict through the
@@ -122,7 +132,7 @@ class Lam(nn.Module):
                 embeddings = flat.reshape((b, n) + flat.shape[1:])
             return embeddings
         if BatchKeys.IMAGES in batched_input:
-            images = batched_input[BatchKeys.IMAGES]
+            images = self._maybe_normalize(batched_input)
             b, n = images.shape[:2]
             flat = images.reshape((b * n,) + images.shape[2:])
             flat = self.image_encoder(flat)

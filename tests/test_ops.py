@@ -62,6 +62,36 @@ def test_adaptive_avg_pool_matches_torch(in_hw, out_hw):
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("custom", [True, False])
+def test_device_normalize_bitmatches_host(custom):
+    """uint8 ingest path: device normalization (ops/image_norm.py) must
+    bit-match the host CustomNormalize pipeline (same fp32 op order, zero
+    pad in the NORMALIZED frame, exact round-half-up valid extents)."""
+    from PIL import Image as PILImage
+
+    from labelanything_tpu.data.transforms import preprocess_image
+    from labelanything_tpu.ops.image_norm import normalize_images
+
+    rng = np.random.default_rng(21)
+    s = 64
+    sizes = [(37, 61), (64, 64), (100, 43), (64, 63)]
+    u8s, f32s, dims = [], [], []
+    for h, w in sizes:
+        img = PILImage.fromarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        u8, d = preprocess_image(img, s, custom, normalize=False)
+        f32, d2 = preprocess_image(img, s, custom, normalize=True)
+        assert u8.dtype == np.uint8 and d == d2
+        u8s.append(u8)
+        f32s.append(f32)
+        dims.append(d)
+    out = normalize_images(jnp.asarray(np.stack(u8s)),
+                           jnp.asarray(np.asarray(dims, np.int32)),
+                           s, custom_preprocess=custom)
+    np.testing.assert_allclose(np.asarray(out), np.stack(f32s),
+                               rtol=0, atol=1e-6)
+
+
 @pytest.mark.parametrize("q_len", [64, 1152, 512])
 def test_flash_attention_interpret_matches_xla(q_len):
     """Kernel grid/block logic incl. the q_len % 256 != 0 tail (e.g. 1152),

@@ -37,10 +37,20 @@ more tricks on it:
      can overlap MXU matmuls with VPU exponentials across the unrolled
      k-blocks instead of idling each engine in phases.
 
-Backward passes recompute with the XLA formulation (flash recompute-VJP);
-for rel-pos training the XLA path materializes the bias per-block — fine at
-training batch sizes, and the LAM trainval configs freeze/skip the image
-encoder anyway (lam_no_vit).
+Backward passes: the lane-layout rel-pos kernels (the SAM ViT trained path,
+reference: label_anything/models/image_encoder.py:340-376 under
+parameters/trainval/*) have FUSED Pallas backward kernels — flash-style
+two-pass recompute with the factored bias folded into the block-wise
+softmax reconstruction, dk/dv accumulated in fp32 VMEM scratch across
+q-block grid steps, and the factored-bias gradient produced by one skinny
+matmul per score tile (nothing quadratic touches HBM in the backward
+either). The bounded softmax shift makes this cheap: it is a pure function
+of the skinny (rows, d) operands, so the backward recomputes it exactly
+without saved statistics, and only the denominator needs one extra QK pass.
+Kill switch ``LA_TPU_DISABLE_FUSED_BWD=1`` falls back to the XLA
+recompute-VJP (q-chunked above _BWD_CHUNK_THRESHOLD tokens to bound live
+quadratic memory), which also serves the packed (ViT-H dh=80) layout and
+all non-bf16 dtypes (see _fused_bwd_ok).
 """
 
 from __future__ import annotations
@@ -852,11 +862,14 @@ def flash_attention_relpos_lanes_batched(qkv, r, scale: float,
 
 
 def _lanes_batched_fwd(qkv, r, scale, grid_hw, heads):
-    return _lanes_batched_fwd_impl(qkv, r, scale, grid_hw, heads), (qkv, r)
+    out = _lanes_batched_fwd_impl(qkv, r, scale, grid_hw, heads)
+    return out, (qkv, r, out)
 
 
 def _lanes_batched_bwd(scale, grid_hw, heads, res, g):
-    qkv, r = res
+    qkv, r, out = res
+    if not _fused_bwd_disabled() and _fused_bwd_ok(qkv.dtype):
+        return _lanes_batched_bwd_impl(qkv, r, out, g, scale, grid_hw, heads)
     _, vjp = jax.vjp(
         lambda a, b: _lanes_xla_ref(a, b, scale, grid_hw, heads), qkv, r)
     return vjp(g)
@@ -876,6 +889,345 @@ flash_attention_relpos_lanes_batched.defvjp(_lanes_batched_fwd,
 # bounding live quadratic memory to (B, H, CHUNK, N).
 _BWD_CHUNK_THRESHOLD = 2048
 _BWD_CHUNK = 256
+
+
+def _fused_bwd_disabled() -> bool:
+    """Kill switch for the fused Pallas backward kernels (A/B forensics).
+
+    Read at TRACE time: set LA_TPU_DISABLE_FUSED_BWD=1 before the first
+    compilation to fall back to the XLA recompute-VJP."""
+    import os
+
+    return os.environ.get("LA_TPU_DISABLE_FUSED_BWD", "").strip().lower() \
+        not in ("", "0", "false")
+
+
+def _fused_bwd_ok(dtype) -> bool:
+    """True when the fused Pallas backward may be used for this dtype.
+
+    Empirical Mosaic limitation (jax 0.6.x, 2026-08): the multi-q-block
+    backward grid compiles in seconds for bf16 but the fp32 variant of the
+    SAME shape never returns from the Mosaic compiler (single-q-block fp32
+    is fine — the pathology is fp32 + cross-q-block VMEM scratch
+    accumulation). Production training runs the bf16 policy
+    (parallel/train_step.py), so bf16 gets the fused kernels and fp32
+    falls back to the proven q-chunked XLA recompute-VJP. Interpret mode
+    (CPU tests) has no Mosaic involvement and allows every dtype."""
+    return _INTERPRET or dtype == jnp.bfloat16
+
+
+def _pick_blocks_bwd(n: int) -> Tuple[int, int]:
+    """(block_q, block_k) for the long-sequence backward kernel. Shorter
+    q-blocks than forward: the backward holds ~3 quadratic intermediates
+    (p, dp, dS) per tile plus two fp32 (N, 128) dk/dv accumulators."""
+    bq = 512 if n % 512 == 0 and n > 512 else _pick_block_q(n)
+    bk = 256 if n % 256 == 0 else n
+    return bq, bk
+
+
+def _lanes_bwd_kernel(q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, e_ref,
+                      dq_ref, dk_ref, dv_ref, dr_ref, dk_acc, dv_acc, *,
+                      scale: float, rh_width: int, block_k: int,
+                      n_q_blocks: int):
+    """Fused backward for the long-sequence lane-sliced rel-pos kernel.
+
+    Flash-style recompute: for each q-block, pass 1 rebuilds the softmax
+    denominator (the bounded shift is a pure function of the skinny
+    operands, so nothing was saved from the forward), pass 2 rebuilds each
+    score tile and forms all five gradient contractions per tile:
+
+        p    = exp2(s2 - m) / denom               (exact softmax)
+        dP   = dO @ V^T
+        dS   = p * (dP - rowsum(dO * O))          (natural domain)
+        dQ  += dS @ K * scale
+        dK  += dS^T @ Q_s / log2e                 (Q_s carries scale*log2e)
+        dV  += p^T @ dO
+        dr  += dS @ E^T / log2e                   (factored bias gradient —
+                                                   one skinny matmul per tile;
+                                                   nothing quadratic in HBM)
+
+    dk/dv accumulate in fp32 VMEM scratch across the q-block grid dimension
+    (the out blocks' index maps ignore it) and flush once at the last
+    q-block."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    dh = q_ref.shape[-1] // 2
+    rr = e_ref.shape[0]
+    q2 = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)    # (BQ, 2*dh)
+    k2 = k_ref[0].astype(jnp.float32)                       # (K, 2*dh)
+    v2 = v_ref[0].astype(jnp.float32)
+    r2 = r_ref[0].astype(jnp.float32)                       # (BQ, 2*rr)
+    o2 = o_ref[0].astype(jnp.float32)                       # (BQ, 2*dh)
+    do2 = do_ref[0].astype(jnp.float32)
+    e = e_ref[...].astype(jnp.float32)                      # (rr, K)
+    k_len = k2.shape[0]
+    bq = q2.shape[0]
+
+    dq_parts, dr_parts = [], []
+    for t in (0, 1):
+        q = q2[:, t * dh:(t + 1) * dh]
+        k = k2[:, t * dh:(t + 1) * dh]
+        v = v2[:, t * dh:(t + 1) * dh]
+        r = r2[:, t * rr:(t + 1) * rr]
+        o = o2[:, t * dh:(t + 1) * dh]
+        do = do2[:, t * dh:(t + 1) * dh]
+        m = _shift_bound(q, k, r, rh_width)                 # (BQ, 1)
+
+        denom = jnp.zeros((bq, 1), jnp.float32)
+        for kb in range(0, k_len, block_k):
+            s = jax.lax.dot_general(
+                q, k[kb:kb + block_k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + jax.lax.dot_general(
+                r, e[:, kb:kb + block_k], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            denom = denom + jnp.sum(jnp.exp2(s - m), axis=-1, keepdims=True)
+        inv = 1.0 / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+        dvec = jnp.sum(do * o, axis=-1, keepdims=True)      # (BQ, 1)
+
+        dq_a = jnp.zeros((bq, dh), jnp.float32)
+        dr_a = jnp.zeros((bq, rr), jnp.float32)
+        for kb in range(0, k_len, block_k):
+            kblk = k[kb:kb + block_k]
+            eblk = e[:, kb:kb + block_k]
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + jax.lax.dot_general(
+                r, eblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp2(s - m) * inv                       # (BQ, BK)
+            dp = jax.lax.dot_general(
+                do, v[kb:kb + block_k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - dvec)
+            dq_a = dq_a + jax.lax.dot_general(
+                ds, kblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dr_a = dr_a + jax.lax.dot_general(
+                ds, eblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_acc[kb:kb + block_k, t * dh:(t + 1) * dh] += \
+                jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            dv_acc[kb:kb + block_k, t * dh:(t + 1) * dh] += \
+                jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dq_parts.append(dq_a * scale)
+        dr_parts.append(dr_a * (1.0 / _LOG2E))
+    dq_ref[0] = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
+    dr_ref[0] = jnp.concatenate(dr_parts, axis=-1).astype(dr_ref.dtype)
+
+    @pl.when(j == n_q_blocks - 1)
+    def _flush():
+        dk_ref[0] = (dk_acc[...] * (1.0 / _LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _lanes_bwd_impl(qkv: jax.Array, r: jax.Array, out: jax.Array,
+                    dout: jax.Array, scale: float,
+                    grid_hw: Tuple[int, int], heads: int):
+    """Dispatch the fused long-sequence lanes backward → (dqkv, dr)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    kh, kw = grid_hw
+    rr = kh + kw
+    e = _onehot_expand(kh, kw, qkv.dtype)
+
+    block_q, block_k = _pick_blocks_bwd(n)
+    assert n % block_q == 0, (n, block_q)
+    n_q_blocks = n // block_q
+    grid = (b, heads // 2, n_q_blocks)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, 2 * dh), lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 2 * dh),
+                     lambda i, hp, j, _h=heads // 2: (i, 0, _h + hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 2 * dh),
+                     lambda i, hp, j, _h=heads // 2: (i, 0, 2 * _h + hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 2 * rr), lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 2 * dh), lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 2 * dh), lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rr, n), lambda i, hp, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, 2 * dh), lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 2 * dh), lambda i, hp, j: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 2 * dh), lambda i, hp, j: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 2 * rr), lambda i, hp, j: (i, j, hp),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq, dk, dv, dr = pl.pallas_call(
+        functools.partial(_lanes_bwd_kernel, scale=scale, rh_width=kh,
+                          block_k=block_k, n_q_blocks=n_q_blocks),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, heads * rr), r.dtype),
+        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n, 2 * dh), jnp.float32),
+            pltpu.VMEM((n, 2 * dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * heads * n * n * dh
+            + 6 * b * heads * n * rr * n,
+            bytes_accessed=(3 * qkv.size + 2 * r.size + 2 * b * n * c)
+            * qkv.dtype.itemsize,
+            transcendentals=2 * b * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(qkv, qkv, qkv, r, out, dout, e)
+    return jnp.concatenate([dq, dk, dv], axis=-1), dr
+
+
+def _lanes_batched_bwd_kernel(q_ref, k_ref, v_ref, r_ref, o_ref, do_ref,
+                              e_ref, dq_ref, dk_ref, dv_ref, dr_ref, *,
+                              scale: float, rh_width: int):
+    """Fused backward for the short-window lane-sliced kernel: the whole
+    (g, N, N) score tile of a window group fits VMEM, so a single pass
+    recomputes softmax and forms every gradient contraction (same math as
+    :func:`_lanes_bwd_kernel`, un-blocked)."""
+    dh = q_ref.shape[-1] // 2
+    rr = e_ref.shape[0]
+    q2 = q_ref[...].astype(jnp.float32) * (scale * _LOG2E)  # (g, n, 2*dh)
+    k2 = k_ref[...].astype(jnp.float32)
+    v2 = v_ref[...].astype(jnp.float32)
+    r2 = r_ref[0].astype(jnp.float32)                       # (g, n, 2*rr)
+    o2 = o_ref[...].astype(jnp.float32)
+    do2 = do_ref[...].astype(jnp.float32)
+    e = e_ref[...].astype(jnp.float32)                      # (rr, n)
+
+    dq_parts, dk_parts, dv_parts, dr_parts = [], [], [], []
+    for t in (0, 1):
+        q = q2[..., t * dh:(t + 1) * dh]
+        k = k2[..., t * dh:(t + 1) * dh]
+        v = v2[..., t * dh:(t + 1) * dh]
+        r = r2[..., t * rr:(t + 1) * rr]
+        o = o2[..., t * dh:(t + 1) * dh]
+        do = do2[..., t * dh:(t + 1) * dh]
+        m = _shift_bound(q, k, r, rh_width)                 # (g, n, 1)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(r, e, (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        e2 = jnp.exp2(s - m)
+        denom = jnp.sum(e2, axis=-1, keepdims=True)
+        p = e2 / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dvec = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - dvec)
+        dq_parts.append(jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale)
+        dk_parts.append(jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (1.0 / _LOG2E))
+        dv_parts.append(jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dr_parts.append(jax.lax.dot_general(
+            ds, e, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (1.0 / _LOG2E))
+    dq_ref[...] = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
+    dk_ref[...] = jnp.concatenate(dk_parts, axis=-1).astype(dk_ref.dtype)
+    dv_ref[...] = jnp.concatenate(dv_parts, axis=-1).astype(dv_ref.dtype)
+    dr_ref[0] = jnp.concatenate(dr_parts, axis=-1).astype(dr_ref.dtype)
+
+
+def _lanes_batched_bwd_impl(qkv: jax.Array, r: jax.Array, out: jax.Array,
+                            dout: jax.Array, scale: float,
+                            grid_hw: Tuple[int, int], heads: int):
+    """Dispatch the fused windowed lanes backward → (dqkv, dr)."""
+    g_total, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    kh, kw = grid_hw
+    rr = kh + kw
+    e = _onehot_expand(kh, kw, qkv.dtype)
+    r4 = r.reshape(g_total, n, heads // 2, 2 * rr).transpose(2, 0, 1, 3)
+
+    # backward holds ~4 (g, n, n) fp32 intermediates per head vs forward's
+    # ~2 — halve the group budget
+    g = _pick_group(g_total, 2 * n * n, budget=1_000_000)
+    grid = (g_total // g, heads // 2)
+
+    in_specs = [
+        pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, n, 2 * dh),
+                     lambda i, hp, _h=heads // 2: (i, 0, _h + hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, n, 2 * dh),
+                     lambda i, hp, _h=heads // 2: (i, 0, 2 * _h + hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g, n, 2 * rr), lambda i, hp: (hp, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rr, n), lambda i, hp: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, n, 2 * dh), lambda i, hp: (i, 0, hp),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g, n, 2 * rr), lambda i, hp: (hp, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq, dk, dv, dr4 = pl.pallas_call(
+        functools.partial(_lanes_batched_bwd_kernel, scale=scale,
+                          rh_width=kh),
+        out_shape=[
+            jax.ShapeDtypeStruct((g_total, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((g_total, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((g_total, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((heads // 2, g_total, n, 2 * rr), r.dtype),
+        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * g_total * heads * n * n * dh
+            + 6 * g_total * heads * n * rr * n,
+            bytes_accessed=(3 * qkv.size + 2 * r.size + 2 * g_total * n * c)
+            * qkv.dtype.itemsize,
+            transcendentals=g_total * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(qkv, qkv, qkv, r4, out, dout, e)
+    dr = dr4.transpose(1, 2, 0, 3).reshape(g_total, n, heads * rr)
+    return jnp.concatenate([dq, dk, dv], axis=-1), dr
 
 
 def _relpos_ref_core(q, k, v, rb, scale, kh, kw):
@@ -948,11 +1300,14 @@ def flash_attention_relpos_lanes(qkv, r, scale: float,
 
 
 def _lanes_fwd(qkv, r, scale, grid_hw, heads):
-    return _lanes_fwd_impl(qkv, r, scale, grid_hw, heads), (qkv, r)
+    out = _lanes_fwd_impl(qkv, r, scale, grid_hw, heads)
+    return out, (qkv, r, out)
 
 
 def _lanes_bwd(scale, grid_hw, heads, res, g):
-    qkv, r = res
+    qkv, r, out = res
+    if not _fused_bwd_disabled() and _fused_bwd_ok(qkv.dtype):
+        return _lanes_bwd_impl(qkv, r, out, g, scale, grid_hw, heads)
     _, vjp = jax.vjp(
         lambda a, b: _lanes_xla_ref(a, b, scale, grid_hw, heads), qkv, r)
     return vjp(g)

@@ -251,6 +251,111 @@ def test_flash_relpos_packed_grad():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("grid_hw", [(48, 16), (16, 48)])
+def test_flash_relpos_lanes_fused_bwd_matches_xla(grid_hw):
+    """Fused Pallas backward of the long-sequence lanes kernel (interpret
+    mode) vs the XLA recompute-VJP reference: dqkv and dr must match."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    kh, kw = grid_hw
+    b, heads, dh = 2, 2, 64
+    n, c = kh * kw, 2 * 64
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * c)).astype(np.float32))
+    r = jnp.asarray(
+        rng.standard_normal((b, n, heads * (kh + kw))).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+
+    old_i, old_bq, old_bk = fa._INTERPRET, fa._BLOCK_Q, fa._BLOCK_K
+    fa._INTERPRET, fa._BLOCK_Q, fa._BLOCK_K = True, 256, 256
+    try:
+        _, vjp = jax.vjp(
+            lambda a, rr: fa.flash_attention_relpos_lanes(
+                a, rr, dh ** -0.5, (kh, kw), heads), qkv, r)
+        dqkv, dr = vjp(ct)
+    finally:
+        fa._INTERPRET, fa._BLOCK_Q, fa._BLOCK_K = old_i, old_bq, old_bk
+    _, vjp_ref = jax.vjp(
+        lambda a, rr: fa._lanes_xla_ref(a, rr, dh ** -0.5, (kh, kw), heads),
+        qkv, r)
+    dqkv_ref, dr_ref = vjp_ref(ct)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(dr_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_relpos_lanes_batched_fused_bwd_matches_xla():
+    """Fused Pallas backward of the windowed lanes kernel vs the XLA
+    recompute-VJP reference."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    kh = kw = 14
+    g_total, heads, dh = 4, 2, 64
+    n, c = kh * kw, 2 * 64
+    rng = np.random.default_rng(12)
+    qkv = jnp.asarray(
+        rng.standard_normal((g_total, n, 3 * c)).astype(np.float32))
+    r = jnp.asarray(
+        rng.standard_normal((g_total, n, heads * (kh + kw))).astype(
+            np.float32))
+    ct = jnp.asarray(rng.standard_normal((g_total, n, c)).astype(np.float32))
+
+    old = fa._INTERPRET
+    fa._INTERPRET = True
+    try:
+        _, vjp = jax.vjp(
+            lambda a, rr: fa.flash_attention_relpos_lanes_batched(
+                a, rr, dh ** -0.5, (kh, kw), heads), qkv, r)
+        dqkv, dr = vjp(ct)
+    finally:
+        fa._INTERPRET = old
+    _, vjp_ref = jax.vjp(
+        lambda a, rr: fa._lanes_xla_ref(a, rr, dh ** -0.5, (kh, kw), heads),
+        qkv, r)
+    dqkv_ref, dr_ref = vjp_ref(ct)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(dr_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bwd_kill_switch(monkeypatch):
+    """LA_TPU_DISABLE_FUSED_BWD=1 routes the lanes VJP back through the XLA
+    recompute path (A/B forensics contract)."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    monkeypatch.setenv("LA_TPU_DISABLE_FUSED_BWD", "1")
+    assert fa._fused_bwd_disabled()
+    kh = kw = 14
+    g_total, heads, dh = 2, 2, 64
+    n, c = kh * kw, 2 * 64
+    rng = np.random.default_rng(13)
+    qkv = jnp.asarray(
+        rng.standard_normal((g_total, n, 3 * c)).astype(np.float32))
+    r = jnp.asarray(
+        rng.standard_normal((g_total, n, heads * (kh + kw))).astype(
+            np.float32))
+    ct = jnp.ones((g_total, n, c), jnp.float32)
+    old = fa._INTERPRET
+    fa._INTERPRET = True
+    try:
+        _, vjp = jax.vjp(
+            lambda a, rr: fa.flash_attention_relpos_lanes_batched(
+                a, rr, dh ** -0.5, (kh, kw), heads), qkv, r)
+        dqkv, dr = vjp(ct)
+    finally:
+        fa._INTERPRET = old
+    _, vjp_ref = jax.vjp(
+        lambda a, rr: fa._lanes_xla_ref(a, rr, dh ** -0.5, (kh, kw), heads),
+        qkv, r)
+    dqkv_ref, dr_ref = vjp_ref(ct)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(dr_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_relpos_chunked_backward_matches_unchunked(monkeypatch):
     """The q-chunked rematerialized backward (the SAM-1024 training memory
     fix: live quadratic memory bounded to (B, H, CHUNK, N)) must produce the

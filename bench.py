@@ -19,7 +19,8 @@ BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["vit", "decode", "train", "pipeline"],
+    ap.add_argument("--mode", choices=["vit", "decode", "train", "finetune",
+                                       "pipeline"],
                     default="vit")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
@@ -51,8 +52,8 @@ def main():
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
-    from labelanything_tpu.benchmarks import (bench_decode, bench_pipeline,
-                                              bench_train,
+    from labelanything_tpu.benchmarks import (bench_decode, bench_finetune,
+                                              bench_pipeline, bench_train,
                                               bench_train_pipeline, bench_vit)
 
     if args.images_path and args.mode == "train":
@@ -70,7 +71,8 @@ def main():
         kw["tp"] = True
     if args.device_loop and args.mode in ("decode", "train"):
         kw["device_loop"] = True
-    if args.no_masks and args.mode in ("decode", "train", "train_pipeline"):
+    if args.no_masks and args.mode in ("decode", "train", "train_pipeline",
+                                       "finetune"):
         kw["include_masks"] = False
     if args.mode == "pipeline":
         if args.workers:
@@ -78,7 +80,8 @@ def main():
         if args.thread_loader:
             kw["use_processes"] = False
     fns = {"vit": bench_vit, "decode": bench_decode, "train": bench_train,
-           "pipeline": bench_pipeline, "train_pipeline": bench_train_pipeline}
+           "finetune": bench_finetune, "pipeline": bench_pipeline,
+           "train_pipeline": bench_train_pipeline}
     result = fns[args.mode](**kw)
 
     baselines = {}

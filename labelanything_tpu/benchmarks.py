@@ -390,6 +390,95 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
     }, step_flops, med / steps)
 
 
+def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
+                   reps=3, include_masks=True, encoder_remat=True):
+    """Images-path fine-tune step throughput: SAM ViT-B @1024px / embed 512
+    trained END TO END (forward + focal loss + backward through the full
+    encoder + AdamW), the configuration of the reference's released SAM
+    checkpoint (reference: README.md:64-71; trained rel-pos path:
+    models/image_encoder.py:340-376; recipe anchor:
+    parameters/trainval/coco20i/mae.yaml with the SAM encoder swap).
+
+    This is the regression instrument for the trained path — the fused
+    Pallas attention BACKWARD kernels (ops/flash_attention.py) only show up
+    here, not in the forward-only vit mode. Reports img/s (fwd+bwd) and MFU
+    against 3x the forward FLOPs estimate (fwd + 2x bwd for the dense path;
+    XLA's own cost analysis does not see inside custom_vjp kernels)."""
+    from labelanything_tpu.data.synthetic import random_full_batch
+    from labelanything_tpu.models.build_lam import build_lam_vit_b
+    from labelanything_tpu.parallel.train_step import (init_train_state,
+                                                       make_train_step)
+    from labelanything_tpu.train.losses import LabelAnythingLoss
+    from labelanything_tpu.train.optim import build_optimizer
+    from labelanything_tpu.train.substitutor import Substitutor
+    from labelanything_tpu.typing import BatchKeys, ResultDict
+
+    c = ways + 1
+    model = build_lam_vit_b(
+        embed_dim=512, image_size=image_size,
+        class_encoder={"name": "RandomMatrixEncoder", "bank_size": 100},
+        dtype=jnp.bfloat16, remat_encoder=encoder_remat,
+    )
+    loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}},
+                             class_weighting=True)
+    full = jax.tree.map(jnp.asarray, random_full_batch(
+        batch_size=batch_size, num_examples=shots, num_classes=c,
+        image_size=image_size, with_images=True,
+        include_masks=include_masks,
+    ))
+    full.pop(BatchKeys.EMBEDDINGS, None)
+    sub = Substitutor(num_points=1, substitute=False)
+    sub.reset(full)
+    batch, gt = next(sub)
+
+    params = {
+        "model": jax.jit(model.init)(jax.random.key(0), batch),
+        "loss": loss.init(jax.random.key(1), {
+            ResultDict.LOGITS: jnp.zeros(
+                (batch_size, c, image_size, image_size)),
+            ResultDict.EXAMPLES_CLASS_EMBS: jnp.zeros(
+                (batch_size, shots, c, 512)),
+            BatchKeys.FLAG_EXAMPLES: batch[BatchKeys.FLAG_EXAMPLES],
+        }, gt),
+    }
+    tx = build_optimizer(params, name="AdamW", learning_rate=5e-5)
+    state = init_train_state(params, tx)
+    train_step = make_train_step(model, loss, tx)
+
+    def run(state):
+        return train_step(state, batch, gt, jax.random.key(0), 1.0,
+                          apply_update=True, use_accum=False)
+
+    # warmup: compile + 2 steps
+    for _ in range(2):
+        state, aux = run(state)
+    assert np.isfinite(float(aux["loss"])), "non-finite warmup loss"
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, aux = run(state)
+        _ = float(aux["loss"])  # single sync per rep (states chain)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med else 0.0
+    sec = med / steps
+    imgs = batch_size * (shots + 1)
+    # fwd + backward ~= 3x forward matmul FLOPs for the encoder-dominated
+    # step (each matmul's VJP is two matmuls of the same size)
+    train_flops = 3.0 * _vit_flops_per_image(image_size, "vit_b") * imgs
+    return _attach_mfu({
+        "metric": (f"train images/sec (SAM ViT-B {image_size}px fine-tune, "
+                   f"{ways}-way {shots}-shot batch {batch_size}, bf16, "
+                   f"fwd+bwd+AdamW)"),
+        "value": round(imgs / sec, 2),
+        "unit": "images/sec",
+        "spread": round(spread, 3),
+        "ms_per_step": round(sec * 1e3, 1),
+    }, train_flops, sec)
+
+
 class _DeviceStreamLoader:
     """EpisodeLoader stand-in yielding pre-staged episode batches.
 

@@ -34,12 +34,22 @@ def profile_trace(log_dir: str = "/tmp/jax-trace"):
         logger.info("profile trace written to %s", log_dir)
 
 
-def estimate_step_memory(fn: Callable, *args) -> Dict[str, float]:
+def estimate_step_memory(fn: Callable, *args,
+                         donate_argnums: tuple = ()) -> Dict[str, float]:
     """Compile ``fn`` AOT and report XLA's memory analysis — the TPU
     equivalent of the reference's allocate_memory forward/backward probe
-    (experiment/utils.py:181-207), without touching the device."""
-    lowered = jax.jit(fn).lower(*args)
+    (experiment/utils.py:181-207), without touching the device.
+
+    With ``donate_argnums`` the analysis reflects donation: donated buffers
+    reused for outputs appear as a NEGATIVE ``alias_bytes`` entry (counted
+    once instead of on both the argument and output side). If the backend
+    does not report ``alias_size_in_bytes`` the entry is omitted and a
+    warning notes that the summed total OVER-COUNTS donated buffers —
+    callers asserting a hard budget should treat that case as advisory,
+    not a failure. Sum the returned values for the peak estimate."""
+    lowered = jax.jit(fn, donate_argnums=donate_argnums).lower(*args)
     compiled = lowered.compile()
+    analysis = None
     try:
         analysis = compiled.memory_analysis()
         stats = {
@@ -52,6 +62,14 @@ def estimate_step_memory(fn: Callable, *args) -> Dict[str, float]:
     except Exception:  # memory analysis unsupported on some backends
         stats = {}
     stats = {k: v for k, v in stats.items() if v is not None}
+    if donate_argnums and stats:
+        aliased = getattr(analysis, "alias_size_in_bytes", None)
+        if aliased is None:
+            logger.warning(
+                "memory preflight: backend reports no alias stats — the "
+                "total over-counts donated buffers (donation not reflected)")
+        else:
+            stats["alias_bytes"] = -aliased
     total = sum(stats.values())
     logger.info("memory preflight: %s (total %.2f GB)",
                 {k: f"{v/2**30:.2f}GB" for k, v in stats.items()},

@@ -8,11 +8,19 @@ scores + bias per global layer (~3.2 GB fp32 each at N=4096). The
 production kernels avoid this with a q-chunked rematerialized backward
 (ops/flash_attention.py, _BWD_CHUNK) plus optional encoder remat.
 
-This script AOT-compiles the EXACT training step (forward + focal loss +
-backward + AdamW) for the images-path LAM with the SAM ViT-B encoder at
-1024px / embed 512 on the 1-way 2-shot bucket, reports XLA's memory
-analysis (the same `estimate_step_memory` the Run preflight uses), asserts
-the total fits a 16 GB v5e, and — when a TPU is attached — times the step.
+This script AOT-compiles the production training step (forward + focal
+loss + backward + AdamW, donated TrainState) for the images-path LAM with
+the SAM ViT-B encoder at 1024px / embed 512 on the 1-way 2-shot bucket via
+the same `estimate_step_memory` helper the Run preflight uses
+(donate_argnums-aware), asserts the total fits a 16 GB v5e, and — when a
+TPU is attached — times the step.
+
+The budget is asserted on the ACCUMULATING program (use_accum=True),
+matching Run._lazy_init's worst-case convention (experiment/run.py): the
+accumulating final substitution pass peaks strictly higher than the
+no-accum fast path, so a passing preflight covers both. Pass --no-accum to
+also print the fast-path number. The --bench timing runs the no-accum fast
+path (the steady-state step when substitution is off).
 
 Run: python scripts/preflight_sam1024.py [--bench] [--batch 2] [--shots 2]
 """
@@ -49,6 +57,9 @@ def main() -> None:
                     help="also time the step on the attached device")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable encoder remat (records the delta)")
+    ap.add_argument("--no-accum", action="store_true",
+                    help="analyze the no-accumulation fast path instead of "
+                         "the worst-case accumulating program")
     ap.add_argument("--budget-gb", type=float, default=16.0)
     args = ap.parse_args()
 
@@ -90,33 +101,37 @@ def main() -> None:
     # AOT-lower the step with the TrainState DONATED, exactly as the
     # production step runs it (make_train_step jits with donate_argnums=(0,));
     # without donation the analysis double-counts params + Adam moments.
+    # use_accum defaults True: the accumulating pass is the worst case the
+    # Run preflight asserts (run.py convention).
     state_shapes = jax.eval_shape(lambda p: init_train_state(p, tx), params)
+    use_accum = not args.no_accum
 
     def aot_step(state, batch, gt, rng):
         return step(state, batch, gt, rng, 1.0, apply_update=True,
-                    use_accum=False)
+                    use_accum=use_accum)
 
-    compiled = jax.jit(aot_step, donate_argnums=(0,)).lower(
-        state_shapes, batch, gt, jax.random.key(2)).compile()
-    analysis = compiled.memory_analysis()
-    stats = {
-        "temp_bytes": analysis.temp_size_in_bytes,
-        "argument_bytes": analysis.argument_size_in_bytes,
-        "output_bytes": analysis.output_size_in_bytes,
-        "generated_code_bytes": analysis.generated_code_size_in_bytes,
-    }
-    # donated state buffers are reused for the output: count the arg side
-    # once (alias_size is the donated overlap)
-    aliased = getattr(analysis, "alias_size_in_bytes", 0) or 0
-    total = sum(stats.values()) - aliased
-    stats["alias_bytes (donated, counted once)"] = -aliased
+    stats = estimate_step_memory(aot_step, state_shapes, batch, gt,
+                                 jax.random.key(2), donate_argnums=(0,))
+    if not stats:
+        raise SystemExit("memory analysis unavailable on this backend")
+    total = sum(stats.values())
+    # alias_bytes present -> donation reflected, total is exact; absent ->
+    # the sum double-counts the donated TrainState (~params+moments) and a
+    # hard budget assert would fire spuriously (advisor finding, round 3)
+    exact = "alias_bytes" in stats
     print({k: f"{v/2**30:.3f} GB" for k, v in stats.items()})
     print(f"TOTAL {total/2**30:.2f} GB vs {args.budget_gb:.0f} GB budget "
           f"(batch {args.batch}, {args.ways}-way {args.shots}-shot, "
-          f"remat={'off' if args.no_remat else 'on'})")
+          f"remat={'off' if args.no_remat else 'on'}, "
+          f"use_accum={use_accum})")
     if total > args.budget_gb * 2**30:
-        raise SystemExit("OVER BUDGET")
-    print("fits: OK")
+        if exact:
+            raise SystemExit("OVER BUDGET")
+        print("WARNING: over budget, but donation is not reflected in this "
+              "backend's analysis — the total over-counts the donated "
+              "TrainState; treat as advisory")
+    else:
+        print("fits: OK")
 
     if args.bench:
         params = {

@@ -23,15 +23,61 @@ def create_mesh(
     data: Optional[int] = None,
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    num_slices: Optional[int] = None,
 ) -> Mesh:
-    """Create a (data, model) mesh over the available devices."""
+    """Create a (data, model) mesh over the available devices.
+
+    DCN-aware (multi-slice pods): devices are grouped by ``slice_index``
+    (slices talk over DCN, not ICI) and laid out SLICE-MAJOR along the data
+    axis, each slice internally ordered by ``mesh_utils.create_device_mesh``
+    for ICI-torus contiguity. Consequences: the model axis never crosses a
+    slice boundary (tensor-parallel collectives ride ICI only), and the
+    data-axis gradient reduction decomposes into per-slice ICI phases plus
+    one DCN exchange — the "data outer over DCN" recipe (SURVEY.md §6;
+    scaling-book). Single-slice topologies get the same ICI-aware ordering;
+    axis names and every caller's shardings are unchanged either way.
+
+    ``num_slices`` forces a simulated slice decomposition when the backend
+    reports none (virtual CPU devices in the dryrun/tests): the device list
+    is split sequentially into that many equal "slices".
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
         data = n // model
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", None) or 0, []).append(d)
+    slices = [groups[k] for k in sorted(groups)]
+    if num_slices is not None and len(slices) == 1 and num_slices > 1:
+        if n % num_slices:
+            raise ValueError(f"{n} devices across {num_slices} slices")
+        per = n // num_slices
+        slices = [devices[i * per:(i + 1) * per] for i in range(num_slices)]
+    per = len(slices[0])
+    if any(len(s) != per for s in slices):
+        raise ValueError("unequal slice sizes: " +
+                         str([len(s) for s in slices]))
+    if per % model or data % len(slices):
+        raise ValueError(
+            f"mesh {data}x{model} cannot nest in {len(slices)} slices of "
+            f"{per} devices: model must divide the slice, data the slice "
+            f"count")
+
+    def order(group):
+        try:  # ICI-topology-aware ordering within one slice
+            from jax.experimental import mesh_utils
+
+            return mesh_utils.create_device_mesh(
+                (per // model, model), devices=group,
+                allow_split_physical_axes=True)
+        except Exception:  # virtual/CPU devices: plain reshape
+            return np.asarray(group).reshape(per // model, model)
+
+    arr = np.concatenate([order(s) for s in slices], axis=0)
     return Mesh(arr, ("data", "model"))
 
 

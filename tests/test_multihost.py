@@ -70,6 +70,42 @@ def test_loader_process_count_must_divide_group():
                       num_workers=1, group_size=3, process_count=2)
 
 
+def test_create_mesh_hybrid_slice_major():
+    """DCN-aware layout (parallel/mesh.py): with a (simulated) 2-slice
+    topology the data axis is SLICE-MAJOR and the model axis never crosses
+    a slice boundary — the 'data outer over DCN' recipe (SURVEY.md §6)."""
+    import jax
+
+    from labelanything_tpu.parallel.mesh import create_mesh
+
+    devs = jax.devices()[:8]
+    halves = [set(devs[:4]), set(devs[4:])]
+
+    mesh = create_mesh(data=4, model=2, devices=devs, num_slices=2)
+    assert mesh.devices.shape == (4, 2)
+    for row in range(4):
+        half = halves[row // 2]           # slice-major along data
+        assert set(mesh.devices[row]) <= half  # model row within one slice
+
+    # pure-dp: first half of the data axis is slice 0
+    mesh = create_mesh(data=8, model=1, devices=devs, num_slices=2)
+    assert set(mesh.devices[:4].ravel()) == halves[0]
+    assert set(mesh.devices[4:].ravel()) == halves[1]
+
+
+def test_create_mesh_hybrid_rejects_bad_nesting():
+    import jax
+    import pytest as _pytest
+
+    from labelanything_tpu.parallel.mesh import create_mesh
+
+    devs = jax.devices()[:8]
+    with _pytest.raises(ValueError):
+        create_mesh(data=8, model=1, devices=devs, num_slices=3)
+    with _pytest.raises(ValueError):  # model=8 cannot fit a 4-device slice
+        create_mesh(data=1, model=8, devices=devs, num_slices=2)
+
+
 def test_updates_per_epoch_counts_substitution_passes():
     from labelanything_tpu.data.loader import EpisodeLoader
     from labelanything_tpu.typing import BatchMetadataKeys as K

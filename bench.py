@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--images-path", action="store_true",
                     help="train mode: alias for --mode pipeline (host loader"
                          " -> device step, reports device_busy/loader_wait)")
+    ap.add_argument("--probe-chunk", action="store_true",
+                    help="with --mode train --pipeline: time the on-device "
+                         "chunk program ALONE (same dispatch + per-step "
+                         "metric folds, no orchestration) — decomposes the "
+                         "pipeline-vs-device-loop residual")
+    ap.add_argument("--probe-host", action="store_true",
+                    help="with --mode train --pipeline: no-op the chunk "
+                         "dispatch and time the pure host orchestration loop")
     ap.add_argument("--workers", type=int, default=None,
                     help="pipeline mode: host loader workers")
     ap.add_argument("--thread-loader", action="store_true",
@@ -74,6 +82,10 @@ def main():
     if args.no_masks and args.mode in ("decode", "train", "train_pipeline",
                                        "finetune"):
         kw["include_masks"] = False
+    if args.probe_chunk and args.mode == "train_pipeline":
+        kw["probe_chunk"] = True
+    if args.probe_host and args.mode == "train_pipeline":
+        kw["probe_host"] = True
     if args.mode == "pipeline":
         if args.workers:
             kw["num_workers"] = args.workers

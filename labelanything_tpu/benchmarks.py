@@ -522,7 +522,9 @@ class _DeviceStreamLoader:
 
 
 def bench_train_pipeline(batch_size=8, ways=5, shots=1, image_size=480,
-                         steps=48, reps=3, include_masks=True):
+                         steps=48, reps=3, include_masks=True,
+                         probe_chunk=False, probe_host=False,
+                         chunk_steps=8):
     """The ACTUAL ``Run.train_epoch`` driven over a device-resident synthetic
     episode stream, comparable head-to-head with ``--mode train
     --device-loop`` (same model/shapes/precision): the loop is de-synced when
@@ -551,7 +553,8 @@ def bench_train_pipeline(batch_size=8, ways=5, shots=1, image_size=480,
     run.params = {}
     run.seed = 0
     run.train_params = {"substitute": False, "check_nan": 0,
-                        "memory_preflight": False}
+                        "memory_preflight": False,
+                        "chunk_steps": chunk_steps}
     run.model_params = {"embed_dim": 256, "image_size": image_size}
     run.dataset_params = {}
     run.dataloader_params = {}
@@ -606,7 +609,75 @@ def bench_train_pipeline(batch_size=8, ways=5, shots=1, image_size=480,
         staged.append(((device, gts), ("syn",)))
     run.train_loader = _DeviceStreamLoader(staged, steps)
 
+    if probe_chunk:
+        # capture the EXACT stacked chunk operand train_epoch dispatches
+        # (chunk_step itself only exists after the lazy init inside the
+        # warmup epoch; the stack output is NOT donated, so it stays valid)
+        captured = {}
+        orig_stack = run._stack_chunk
+
+        def _capture(batches, luts):
+            out = orig_stack(batches, luts)
+            captured.setdefault("stacked", out)
+            return out
+
+        run._stack_chunk = _capture
+
     run.train_epoch(0)  # warmup: lazy init + compile both stream slots
+
+    if probe_chunk:
+        # the on-device chunk program ALONE (same lax.scan dispatch, same
+        # per-step metric folds), no orchestration: the gap between this and
+        # the Run.train_epoch number is host/orchestration cost; the gap
+        # between this and --device-loop (bare step, NO metric folds) is the
+        # real per-step metric work the loop adds.
+        run._stack_chunk = orig_stack
+        orig_chunk = run.chunk_step
+        stacked_b, stacked_l = captured["stacked"]
+        base_rng = jax.random.key(run.seed * 100003)  # epoch 0, as warmed
+        reset = run._reset_flag(False)
+        loss_scale = 1.0
+        kwargs = dict(accumulate=False, substitute=False, gen_points=False)
+        k_depth = int(stacked_l.shape[0])
+        n_chunks = max(1, steps // k_depth)
+        state, metrics = run.state, run._metrics_dev
+
+        def chunk_once(state, metrics):
+            return orig_chunk(state, metrics, stacked_b, stacked_l,
+                              base_rng, reset, loss_scale, **kwargs)
+
+        state, metrics, _ = chunk_once(state, metrics)  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                state, metrics, _ = chunk_once(state, metrics)
+            _ = float(metrics["loss_sum"])  # single sync per rep
+            times.append(time.perf_counter() - t0)
+        tmp.cleanup()
+        med = statistics.median(times)
+        spread = (max(times) - min(times)) / med if med else 0.0
+        return {
+            "metric": (f"train episodes/sec (chunk program alone, K="
+                       f"{k_depth}, {ways}-way {shots}-shot {image_size}px, "
+                       f"bf16, per-step device metric folds)"),
+            "value": round(batch_size * k_depth * n_chunks / med, 2),
+            "unit": "episodes/sec",
+            "spread": round(spread, 3),
+        }
+
+    if probe_host:
+        # host-only loop cost: the chunk dispatch becomes a no-op, so the
+        # epoch time is pure orchestration Python (+ the _stack_chunk
+        # dispatch). Run.train_epoch's wall time is ~max(host, device) under
+        # async dispatch; this isolates the host term, which scales with
+        # single-core CPU speed, not with the model. probe_host >= 2 also
+        # no-ops the device stack, leaving pure Python bookkeeping.
+        run.chunk_step = lambda state, metrics, b, l, rng, reset, ls, **k: (
+            state, metrics, None)
+        if int(probe_host) >= 2:
+            run._stack_chunk = lambda batches, luts: (batches[0], luts[0])
+
     times = []
     for rep in range(reps):
         t0 = time.perf_counter()
@@ -618,6 +689,7 @@ def bench_train_pipeline(batch_size=8, ways=5, shots=1, image_size=480,
     return {
         "metric": (f"train episodes/sec (Run.train_epoch, device-resident "
                    f"stream, {ways}-way {shots}-shot {image_size}px, bf16"
+                   + (", HOST-ONLY no-op dispatch" if probe_host else "")
                    + ("" if include_masks else ", no-masks") + ")"),
         "value": round(batch_size * steps / med, 2),
         "unit": "episodes/sec",

@@ -190,7 +190,9 @@ def _batch_signature(device_batch) -> tuple:
     structure and every leaf's shape/dtype agree (same bucket, same present
     modalities)."""
     leaves, treedef = jax.tree.flatten(device_batch)
-    return (str(treedef),
+    # treedef is hashable and cheap to compare — stringifying it cost ~100 us
+    # per batch on a 1-core host (measured in the round-4 host decomposition)
+    return (treedef,
             tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
 
 
@@ -603,9 +605,18 @@ class Run:
                                 self.global_train_step))
                 window.clear()
                 window_px = 0
-            # resolve everything but the newest window (whose compute may
-            # still be in flight); ``final`` drains the queue at epoch end
-            while len(pending) > (0 if final else 1):
+            # resolve only snapshots the device has already produced (the
+            # host must never park on a fetch mid-epoch — that drains the
+            # dispatch queue and leaves the device idle while the host
+            # refills it); ``final`` drains the queue at epoch end. Backends
+            # without is_ready() resolve one-behind as before.
+            def ready(entry):
+                try:
+                    return all(l.is_ready() for l in jax.tree.leaves(entry[0]))
+                except Exception:
+                    return True
+            while len(pending) > (0 if final else 1) and (
+                    final or ready(pending[0])):
                 resolve(pending.pop(0))
 
         # one device key per epoch; each pass derives its rng ON DEVICE as

@@ -61,6 +61,7 @@ Enabled by default on TPU; ``_FORCE`` lets CPU tests exercise it.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -70,6 +71,23 @@ import numpy as np
 # Toggled by tests to exercise this path on CPU.
 _ENABLE = True
 _FORCE = False
+
+
+def _reassoc_enabled() -> bool:
+    """Round-4 re-associated streaming: instead of materializing the packed
+    (G, S, 3I) image-side projection per layer (44 MB read + 66 MB write +
+    66 MB re-read at decode shapes), contract the TINY token-side operands
+    with the projection weights first (``qt @ Wk^T`` — microscopic FLOPs)
+    and stream the raw (G, S, D) keys array directly through every score/PV
+    dot. Exact by associativity; terms constant over the softmax axis
+    (``bk``, the t2i key shift) cancel and are dropped.
+
+    Default OFF: at decode shapes the re-associated HLO sent the tunneled
+    XLA compile service into a 40+ minute compile (two independent hangs;
+    the packed-projection graph compiles in minutes), so the variant stays
+    opt-in (``LA_TPU_BLOCKDIAG_REASSOC=1``) until the toolchain handles it.
+    CPU tests exercise both paths."""
+    return os.environ.get("LA_TPU_BLOCKDIAG_REASSOC", "0") == "1"
 
 # params-tuple layout per Attention: (Wq, bq, Wk, bk, Wv, bv, Wo, bo)
 _ATTN_N = 8
@@ -207,6 +225,22 @@ def twoway_blockdiag(
         out = _dot(xr, y, 2, cy, f32)
         return out.reshape(g, t, out.shape[-1])
 
+    def _pedot(x, pe2):
+        """x (G, T, D) against the SHARED pe (S, D): one unbatched matmul
+        (reads pe once, ~0.5 MB) -> (G, T, S) fp32."""
+        t = x.shape[1]
+        out = jnp.dot(x.reshape(-1, x.shape[2]), pe2.T,
+                      preferred_element_type=jnp.float32)
+        return out.reshape(x.shape[0], t, pe2.shape[0])
+
+    def _wdot(x, w):
+        """Token-side re-association: x (G, T, I) @ w^T for w (D, I) ->
+        (G, T, D); microscopic FLOPs, lets the score/PV dots stream the raw
+        keys array instead of a materialized per-layer projection."""
+        return jnp.einsum("gti,di->gtd", x, w)
+
+    reassoc = _reassoc_enabled()
+
     for layer in range(depth):
         p_self = take(_ATTN_N)
         n1s, n1b = take(2)
@@ -227,38 +261,65 @@ def twoway_blockdiag(
                                           num_heads, dtype)
         queries = _ln(queries, n1s, n1b, dtype)
 
-        # packed image-side projections: one pass over keys + pe
-        wk, bk, wv, bv = [p_t2i[j].astype(dtype) for j in (2, 3, 4, 5)]
-        wq_i2t, bq_i2t = p_i2t[0].astype(dtype), p_i2t[1].astype(dtype)
-        wpack = jnp.concatenate([wk, wv, wq_i2t], axis=1)
-        bpack = jnp.concatenate([bk, bv, bq_i2t])
         in_shared = shared and layer == 0
-        pk = (keys + kpe) @ wpack + bpack  # (G or BM, S, 3I)
-        v_corr = kpe @ wv                           # (1, S, I)
-        kp = pk[..., :i]
-        vp = pk[..., i:2 * i] - v_corr
-        qp_img = pk[..., 2 * i:]
-        if in_shared:
-            shift = key_shift.astype(dtype)
-            sp = shift @ wpack                       # (G, 3I), rank-1, no bias
-            sv, sq = sp[:, i:2 * i], sp[:, 2 * i:]
-
-        # token->image cross attention
-        if in_shared:
-            # the key correction qt.(u@Wk) is constant over S -> cancels in
-            # the softmax; the V correction adds sv to every output row
-            # because softmax rows sum to 1
+        wq_i2t, bq_i2t = p_i2t[0].astype(dtype), p_i2t[1].astype(dtype)
+        wk, bk, wv, bv = [p_t2i[j].astype(dtype) for j in (2, 3, 4, 5)]
+        if reassoc:
+            # no packed projection: token-side operands absorb the image
+            # projections (see _reassoc_enabled), the raw keys stream feeds
+            # every dot directly. bk is constant over the S softmax axis and
+            # cancels; the V bias adds verbatim (softmax rows sum to 1); the
+            # kpe contribution is one SHARED skinny matmul per use.
             wq, bq = p_t2i[0].astype(dtype), p_t2i[1].astype(dtype)
             wo, bo = p_t2i[6].astype(dtype), p_t2i[7].astype(dtype)
             q = queries + qpe
             qt = _bd((q @ wq + bq).reshape(g, nt, num_heads, dh))
-            s48 = _gdot(qt, kp, 2) * scale
-            a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
-            o48 = _gdot(a48, vp, 1, f32=False)
-            o = _undiag(o48, num_heads, nt, dh) + sv[:, None, :]
+            qtk = _wdot(qt, wk)                      # (G, H*NT, D)
+            pe_term = _pedot(qtk, kpe[0])
+            if in_shared:
+                shift = key_shift.astype(dtype)
+                # qtk.u is constant over S -> cancels in the softmax
+                s48 = (_gdot(qtk, keys, 2) + pe_term) * scale
+                a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+                # a48 @ (base + u) = grouped dot + u (rows sum to 1)
+                aK = _gdot(a48, keys, 1, f32=False) + shift[:, None, :]
+            else:
+                s48 = (_dot(qtk, keys, 2, 2) + pe_term) * scale
+                a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+                aK = _dot(a48, keys, 2, 1, f32=False)  # (G, H*NT, D)
+            o48 = jnp.einsum("gtd,di->gti", aK.astype(dtype), wv) + bv
+            o = _undiag(o48, num_heads, nt, dh)
             out = queries + (o @ wo + bo)
         else:
-            out, _ = t2i(queries, kp, vp, p_t2i, None)
+            # packed image-side projections: one pass over keys + pe
+            wpack = jnp.concatenate([wk, wv, wq_i2t], axis=1)
+            bpack = jnp.concatenate([bk, bv, bq_i2t])
+            pk = (keys + kpe) @ wpack + bpack  # (G or BM, S, 3I)
+            v_corr = kpe @ wv                           # (1, S, I)
+            kp = pk[..., :i]
+            vp = pk[..., i:2 * i] - v_corr
+            qp_img = pk[..., 2 * i:]
+            if in_shared:
+                shift = key_shift.astype(dtype)
+                sp = shift @ wpack                   # (G, 3I), rank-1, no bias
+                sv, sq = sp[:, i:2 * i], sp[:, 2 * i:]
+
+            # token->image cross attention
+            if in_shared:
+                # the key correction qt.(u@Wk) is constant over S -> cancels
+                # in the softmax; the V correction adds sv to every output
+                # row because softmax rows sum to 1
+                wq, bq = p_t2i[0].astype(dtype), p_t2i[1].astype(dtype)
+                wo, bo = p_t2i[6].astype(dtype), p_t2i[7].astype(dtype)
+                q = queries + qpe
+                qt = _bd((q @ wq + bq).reshape(g, nt, num_heads, dh))
+                s48 = _gdot(qt, kp, 2) * scale
+                a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+                o48 = _gdot(a48, vp, 1, f32=False)
+                o = _undiag(o48, num_heads, nt, dh) + sv[:, None, :]
+                out = queries + (o @ wo + bo)
+            else:
+                out, _ = t2i(queries, kp, vp, p_t2i, None)
         queries = _ln(out, n2s, n2b, dtype)
 
         # mlp on tokens
@@ -271,7 +332,24 @@ def twoway_blockdiag(
         q = queries + qpe
         kt = _bd((q @ wk2 + bk2).reshape(g, nt, num_heads, dh))
         vt = _bd((queries @ wv2 + bv2).reshape(g, nt, num_heads, dh))
-        if in_shared:
+        if reassoc:
+            ktq = _wdot(kt, wq_i2t)                  # (G, H*NT, D)
+            # the row softmax does NOT run over S -> the query bias and the
+            # per-instance shift survive as per-row constants
+            rowb = jnp.einsum("gti,i->gt", kt, bq_i2t,
+                              preferred_element_type=jnp.float32)
+            pe_term = _pedot(ktq, kpe[0])
+            if in_shared:
+                rowu = jnp.einsum("gtd,gd->gt", ktq, shift,
+                                  preferred_element_type=jnp.float32)
+                s48 = (_gdot(ktq, keys, 2) + pe_term
+                       + (rowb + rowu)[..., None]) * scale
+                # materialize per-instance keys for the residual + layers >= 2
+                keys = jnp.repeat(keys, group, axis=0) + shift[:, None, :]
+            else:
+                s48 = (_dot(ktq, keys, 2, 2) + pe_term
+                       + rowb[..., None]) * scale
+        elif in_shared:
             # the query correction kt.(u@Wq) varies per token row and the
             # segment softmax runs over rows -> keep it (one tiny einsum)
             row = jnp.einsum("gti,gi->gt", kt, sq,
@@ -285,21 +363,28 @@ def twoway_blockdiag(
         o = _dot(a, vt, 1, 1, f32=False)             # (G, S, I) bf16
         keys = _ln(keys + (o @ wo2 + bo2), n4s, n4b, dtype)
 
-    # final token->image attention (packed k/v)
+    # final token->image attention
     p_f = take(_ATTN_N)
     nfs, nfb = take(2)
     wq, bq, wk, bk, wv, bv, wo, bo = [x.astype(dtype) for x in p_f]
-    wpack = jnp.concatenate([wk, wv], axis=1)
-    bpack = jnp.concatenate([bk, bv])
-    pk = (keys + kpe) @ wpack + bpack
-    v_corr = kpe @ wv
-    kp = pk[..., :i]
-    vp = pk[..., i:] - v_corr
     q = queries + qpe
     qt = _bd((q @ wq + bq).reshape(g, nt, num_heads, dh))
-    s48 = _dot(qt, kp, 2, 2) * scale
-    a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
-    o48 = _dot(a48, vp, 2, 1, f32=False)
+    if reassoc:
+        qtk = _wdot(qt, wk)
+        s48 = (_dot(qtk, keys, 2, 2) + _pedot(qtk, kpe[0])) * scale
+        a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+        aK = _dot(a48, keys, 2, 1, f32=False)
+        o48 = jnp.einsum("gtd,di->gti", aK.astype(dtype), wv) + bv
+    else:
+        wpack = jnp.concatenate([wk, wv], axis=1)
+        bpack = jnp.concatenate([bk, bv])
+        pk = (keys + kpe) @ wpack + bpack
+        v_corr = kpe @ wv
+        kp = pk[..., :i]
+        vp = pk[..., i:] - v_corr
+        s48 = _dot(qt, kp, 2, 2) * scale
+        a48 = jax.nn.softmax(s48, axis=-1).astype(dtype)
+        o48 = _dot(a48, vp, 2, 1, f32=False)
     o = _undiag(o48, num_heads, nt, dh)
     queries = _ln(queries + (o @ wo + bo), nfs, nfb, dtype)
     return queries, keys

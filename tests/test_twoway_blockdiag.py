@@ -176,3 +176,42 @@ def test_blockdiag_yields_to_real_masking(setup):
                                            query_mask=mask))
     np.testing.assert_allclose(np.asarray(q_m), np.asarray(q_ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(k_m), np.asarray(k_ref), atol=3e-5)
+
+
+def test_reassoc_forward_and_shared_match_module(setup, monkeypatch):
+    """The opt-in re-associated streaming variant (projection-free: token
+    operands absorb the image projections, raw keys feed every dot) must
+    match the module path for both the plain and shared-keys entries, and
+    its gradients must match too. Opt-in because the tunneled XLA service
+    choked compiling it at decode shapes (see _reassoc_enabled)."""
+    monkeypatch.setenv("LA_TPU_BLOCKDIAG_REASSOC", "1")
+    tr, img, pe, tok, params = setup
+    q_ref, k_ref = _plain(lambda: tr.apply(params, img, pe, tok))
+    q_f, k_f = _blockdiag(lambda: tr.apply(params, img, pe, tok))
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_ref), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_ref), atol=5e-5)
+
+    group = 4
+    rng = np.random.default_rng(5)
+    g = B * group
+    shift = jnp.asarray(0.3 * rng.standard_normal((g, D)), jnp.float32)
+    tok_g = jnp.asarray(0.5 * rng.standard_normal((g, N, D)), jnp.float32)
+    img_full = jnp.repeat(img, group, axis=0) + shift[:, None, None, :]
+    q_r, k_r = _plain(lambda: tr.apply(params, img_full, pe, tok_g))
+    q_s, k_s = _blockdiag(
+        lambda: tr.apply(params, img, pe, tok_g, image_shift=shift))
+    np.testing.assert_allclose(np.asarray(q_s), np.asarray(q_r), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_r), atol=5e-5)
+
+    def loss(pp):
+        q, k = tr.apply(pp, img, pe, tok)
+        return jnp.sum(jnp.square(q)) + jnp.sum(jnp.square(k))
+
+    g_f = _blockdiag(lambda: jax.grad(loss)(params))
+    g_r = _plain(lambda: jax.grad(loss)(params))
+    f1 = flax.traverse_util.flatten_dict(g_f["params"])
+    f0 = flax.traverse_util.flatten_dict(g_r["params"])
+    for k in f0:
+        d = np.abs(np.asarray(f1[k]) - np.asarray(f0[k])).max()
+        scale = np.abs(np.asarray(f0[k])).max()
+        assert d < max(1e-3 * scale, 1e-5), (k, d, scale)

@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--processes", action="store_true")
+    ap.add_argument("--device-normalize", action="store_true",
+                    help="uint8 ingest: skip host normalization (pixels "
+                         "normalize on device inside the jitted step)")
     args = ap.parse_args()
 
     from labelanything_tpu.data.dataset import (LabelAnythingDataset,
@@ -68,7 +71,8 @@ def main():
             "instances_path": str(root / "instances.json"),
             "img_dir": str(root / "images"),
         }},
-        common_params={"image_size": 480, "add_box_noise": True, "seed": 0},
+        common_params={"image_size": 480, "add_box_noise": True, "seed": 0,
+                       "device_normalize": args.device_normalize},
     )
     sampler = VariableBatchSampler(
         union, possible_batch_example_nums=[[8, 1], [4, 2]],

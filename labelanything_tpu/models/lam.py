@@ -20,6 +20,7 @@ training/eval protocols:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -251,8 +252,19 @@ class Lam(nn.Module):
 
         seg: (B, C, h, w); dims: (B, N, 2) original (H, W) — row 0 is the
         query image's size.
+
+        Under bf16 compute the interpolation + pad-mask run in bf16: the
+        decoder's (B, C, 120, 120) logits are fp32 accumulations of bf16
+        operands, and writing the 16x-larger upscaled map in fp32 doubles
+        the postprocess HBM bill for precision the inputs never had
+        (measured 0.349 -> 0.153 ms at decode shapes,
+        scripts/microbench_post.py; the loss upcasts logits on entry).
+        ``LA_TPU_POSTPROCESS_FP32=1`` restores the fp32 path for A/B.
         """
         s = self.image_size
+        if (getattr(self.mask_decoder, "dtype", jnp.float32) == jnp.bfloat16
+                and os.environ.get("LA_TPU_POSTPROCESS_FP32", "0") != "1"):
+            seg = seg.astype(jnp.bfloat16)
         seg = resize_bilinear(seg, (s, s))
         if not self.custom_preprocess:
             return seg

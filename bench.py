@@ -50,19 +50,39 @@ def main():
                          "chunk program ALONE (same dispatch + per-step "
                          "metric folds, no orchestration) — decomposes the "
                          "pipeline-vs-device-loop residual")
-    ap.add_argument("--probe-host", action="store_true",
+    ap.add_argument("--probe-host", nargs="?", const=1, default=0, type=int,
                     help="with --mode train --pipeline: no-op the chunk "
-                         "dispatch and time the pure host orchestration loop")
+                         "dispatch and time the pure host orchestration loop;"
+                         " level 2 also no-ops the device stack (pure Python"
+                         " bookkeeping)")
     ap.add_argument("--workers", type=int, default=None,
                     help="pipeline mode: host loader workers")
     ap.add_argument("--thread-loader", action="store_true",
                     help="pipeline mode: thread loader instead of processes")
+    ap.add_argument("--remat", choices=["full", "attn", "dots", "none"],
+                    default=None,
+                    help="finetune mode: encoder rematerialization policy "
+                         "(default full; see models/image_encoder.py)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="finetune mode: alias for --remat none")
+    ap.add_argument("--gradcheck", action="store_true",
+                    help="finetune mode: instead of timing, compare the "
+                         "compiled fused Pallas attention backward against "
+                         "the XLA recompute-VJP at production shapes on this "
+                         "chip and report the max abs diff per gradient leaf")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
     from labelanything_tpu.benchmarks import (bench_decode, bench_finetune,
-                                              bench_pipeline, bench_train,
+                                              bench_gradcheck, bench_pipeline,
+                                              bench_train,
                                               bench_train_pipeline, bench_vit)
+
+    if args.gradcheck:
+        result = bench_gradcheck()
+        result["vs_baseline"] = 1.0
+        print(json.dumps(result))
+        return
 
     if args.images_path and args.mode == "train":
         args.mode = "pipeline"
@@ -82,10 +102,15 @@ def main():
     if args.no_masks and args.mode in ("decode", "train", "train_pipeline",
                                        "finetune"):
         kw["include_masks"] = False
+    if args.mode == "finetune":
+        if args.no_remat:
+            kw["encoder_remat"] = "none"
+        elif args.remat:
+            kw["encoder_remat"] = args.remat
     if args.probe_chunk and args.mode == "train_pipeline":
         kw["probe_chunk"] = True
     if args.probe_host and args.mode == "train_pipeline":
-        kw["probe_host"] = True
+        kw["probe_host"] = args.probe_host
     if args.mode == "pipeline":
         if args.workers:
             kw["num_workers"] = args.workers

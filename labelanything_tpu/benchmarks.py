@@ -391,7 +391,7 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
 
 
 def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
-                   reps=3, include_masks=True, encoder_remat=True):
+                   reps=3, include_masks=True, encoder_remat="full"):
     """Images-path fine-tune step throughput: SAM ViT-B @1024px / embed 512
     trained END TO END (forward + focal loss + backward through the full
     encoder + AdamW), the configuration of the reference's released SAM
@@ -403,7 +403,12 @@ def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
     Pallas attention BACKWARD kernels (ops/flash_attention.py) only show up
     here, not in the forward-only vit mode. Reports img/s (fwd+bwd) and MFU
     against 3x the forward FLOPs estimate (fwd + 2x bwd for the dense path;
-    XLA's own cost analysis does not see inside custom_vjp kernels)."""
+    XLA's own cost analysis does not see inside custom_vjp kernels).
+
+    ``encoder_remat`` selects the rematerialization policy ("full", "attn",
+    "dots", "none" — models/image_encoder.py); the preflight's 5.01/16 GB
+    at "full" showed 3x headroom, so the cheaper policies are real options
+    at this batch — measured numbers in PERF.md (round-5 remat tax)."""
     from labelanything_tpu.data.synthetic import random_full_batch
     from labelanything_tpu.models.build_lam import build_lam_vit_b
     from labelanything_tpu.parallel.train_step import (init_train_state,
@@ -414,10 +419,11 @@ def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
     from labelanything_tpu.typing import BatchKeys, ResultDict
 
     c = ways + 1
+    remat = False if encoder_remat in ("none", False, None) else encoder_remat
     model = build_lam_vit_b(
         embed_dim=512, image_size=image_size,
         class_encoder={"name": "RandomMatrixEncoder", "bank_size": 100},
-        dtype=jnp.bfloat16, remat_encoder=encoder_remat,
+        dtype=jnp.bfloat16, remat_encoder=remat,
     )
     loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}},
                              class_weighting=True)
@@ -468,15 +474,104 @@ def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
     # fwd + backward ~= 3x forward matmul FLOPs for the encoder-dominated
     # step (each matmul's VJP is two matmuls of the same size)
     train_flops = 3.0 * _vit_flops_per_image(image_size, "vit_b") * imgs
+    remat_tag = "" if encoder_remat == "full" else f", remat={encoder_remat}"
     return _attach_mfu({
         "metric": (f"train images/sec (SAM ViT-B {image_size}px fine-tune, "
                    f"{ways}-way {shots}-shot batch {batch_size}, bf16, "
-                   f"fwd+bwd+AdamW)"),
+                   f"fwd+bwd+AdamW{remat_tag})"),
         "value": round(imgs / sec, 2),
         "unit": "images/sec",
         "spread": round(spread, 3),
         "ms_per_step": round(sec * 1e3, 1),
     }, train_flops, sec)
+
+
+def bench_gradcheck():
+    """On-hardware gradient check for the fused Pallas attention backward
+    kernels (``bench.py --gradcheck``).
+
+    The interpret-mode parity tests (tests/test_ops.py) run the kernels on
+    CPU without Mosaic involvement; a compiled-kernel numerics bug on the
+    real chip would pass them. This check runs the PRODUCTION path on the
+    current device: for both lane-layout kernels at SAM-1024 fine-tune
+    shapes (global: B=6 images, N=4096 tokens; windowed: G=150 windows,
+    N=196), it takes ``jax.vjp`` through the public custom_vjp function
+    (forward kernel -> fused backward kernel, bf16 — the trained policy)
+    and compares dqkv/dr against the q-chunked XLA recompute-VJP reference
+    on the SAME bf16 operands.
+
+    Tolerance is principled, not a magic constant: the same reference is
+    also evaluated on fp32 upcasts of the operands, and the fused-vs-ref
+    diff must stay within 4x the ref's own bf16-vs-fp32 rounding floor
+    (plus 1e-6 absolute). Reports the worst per-leaf ratio."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    assert not fa._fused_bwd_disabled(), \
+        "LA_TPU_DISABLE_FUSED_BWD is set; gradcheck must run the fused path"
+    assert fa._fused_bwd_ok(jnp.bfloat16)
+
+    cases = [
+        # (label, kernel, (rows, tokens), grid_hw, heads)
+        ("global_B6_N4096", fa.flash_attention_relpos_lanes,
+         (6, 4096), (64, 64), 12),
+        ("windowed_G150_N196", fa.flash_attention_relpos_lanes_batched,
+         (150, 196), (14, 14), 12),
+    ]
+    out_cases = {}
+    worst = 0.0
+    for label, kernel, (b, n), grid_hw, heads in cases:
+        dh = 64
+        c = heads * dh
+        scale = dh ** -0.5
+        rng = np.random.default_rng(17)
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3 * c)), jnp.bfloat16)
+        r = jnp.asarray(
+            0.25 * rng.standard_normal((b, n, heads * sum(grid_hw))),
+            jnp.bfloat16)
+        ct = jnp.asarray(rng.standard_normal((b, n, c)), jnp.bfloat16)
+
+        def grads(fn, a, rr, cot):
+            _, vjp = jax.vjp(lambda x, y: fn(x, y, scale, grid_hw, heads),
+                             a, rr)
+            return vjp(cot)
+
+        d_fused = jax.jit(functools.partial(grads, kernel))(qkv, r, ct)
+        d_ref = jax.jit(functools.partial(grads, fa._lanes_xla_ref))(
+            qkv, r, ct)
+        d_ref32 = jax.jit(functools.partial(grads, fa._lanes_xla_ref))(
+            qkv.astype(jnp.float32), r.astype(jnp.float32),
+            ct.astype(jnp.float32))
+
+        leaves = {}
+        for leaf_name, f, x, x32 in (("dqkv", *map(np.asarray,
+                                                   (d_fused[0], d_ref[0],
+                                                    d_ref32[0]))),
+                                     ("dr", *map(np.asarray,
+                                                 (d_fused[1], d_ref[1],
+                                                  d_ref32[1])))):
+            f = f.astype(np.float32)
+            x = x.astype(np.float32)
+            diff = float(np.max(np.abs(f - x)))
+            floor = float(np.max(np.abs(x - x32.astype(np.float32))))
+            ratio = diff / (4.0 * floor + 1e-6)
+            leaves[leaf_name] = {
+                "max_abs_diff": round(diff, 6),
+                "bf16_rounding_floor": round(floor, 6),
+                "grad_scale": round(float(np.max(np.abs(x32))), 3),
+                "ratio_vs_4x_floor": round(ratio, 3),
+            }
+            worst = max(worst, ratio)
+        out_cases[label] = leaves
+    return {
+        "metric": ("gradcheck: fused Pallas attention bwd vs XLA "
+                   "recompute-VJP, compiled on-chip, bf16 "
+                   "(worst diff / 4x bf16 rounding floor; <1 passes)"),
+        "value": round(worst, 4),
+        "unit": "ratio",
+        "pass": bool(worst < 1.0),
+        "device_kind": jax.devices()[0].device_kind,
+        "cases": out_cases,
+    }
 
 
 class _DeviceStreamLoader:

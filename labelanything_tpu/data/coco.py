@@ -441,7 +441,19 @@ class CocoLVISDataset:
         flag_examples = flags_merge(flag_masks, flag_points, flag_bboxes)
         dims = np.asarray(img_sizes, np.int32)
 
+        extra = {}
+        if image_key == BatchKeys.IMAGES and self.device_normalize:
+            # ship the EXACT content extent the host resize produced (same
+            # function + inputs as CustomResize) so device normalization
+            # never re-derives it with different float rounding
+            # (ops/image_norm.py; advisor r4)
+            extra[BatchKeys.RESIZED_DIMS] = np.asarray(
+                [get_preprocess_shape(h, w, self.image_size)
+                 if self.custom_preprocess else (self.image_size, self.image_size)
+                 for h, w in img_sizes], np.int32)
+
         return {
+            **extra,
             image_key: images,
             BatchKeys.PROMPT_MASKS: masks,
             BatchKeys.FLAG_MASKS: flag_masks,

@@ -160,6 +160,9 @@ class LabelAnythingDataset:
             pad_to(x[BatchKeys.FLAG_EXAMPLES], (n_imgs, max_classes))
             for x in items])
         batch[BatchKeys.DIMS] = np.stack([x[BatchKeys.DIMS] for x in items])
+        if BatchKeys.RESIZED_DIMS in items[0]:
+            batch[BatchKeys.RESIZED_DIMS] = np.stack(
+                [x[BatchKeys.RESIZED_DIMS] for x in items])
 
         image_key = (BatchKeys.EMBEDDINGS if BatchKeys.EMBEDDINGS in items[0]
                      else BatchKeys.IMAGES)

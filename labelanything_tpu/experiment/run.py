@@ -519,7 +519,13 @@ class Run:
         The NaN sentinel consequently fires with up to ``log_frequency``
         steps of delay; the window bookkeeping maps the device-reported
         first-bad pass index back to the offending host batch for the dump
-        (reference: check_nan, experiment/utils.py:139-157)."""
+        (reference: check_nan, experiment/utils.py:139-157). With check_nan
+        enabled every flush resolves EAGERLY (a synchronous fetch per
+        window) so the dumped params trail the bad pass by at most one
+        window, not two — NaN debugging pays the sync the zero-sync loop
+        avoids; the dumped params are still up to ``log_frequency``
+        optimizer steps past the first bad pass (the batch mapping is
+        exact; the params are best-effort)."""
         assert self.train_loader is not None, "no train datasets configured"
         tp = self.train_params
         accumulate = tp.get("accumulate_substitution", False)
@@ -559,7 +565,9 @@ class Run:
             long completed by then), so the steady-state loop never blocks
             on a metric fetch; train metric log lines and the NaN sentinel
             consequently lag by up to 2 * log_frequency steps (documented
-            observability trade, like chunked image logging)."""
+            observability trade, like chunked image logging). check_nan
+            forces eager draining in flush(), cutting the sentinel's lag
+            back to one window at the cost of a sync per flush."""
             nonlocal cm, cm2, loss_sum, loss_count, last_loss
             snap, win, g_step = entry
             m = local_shard(snap)
@@ -610,13 +618,19 @@ class Run:
             # dispatch queue and leaves the device idle while the host
             # refills it); ``final`` drains the queue at epoch end. Backends
             # without is_ready() resolve one-behind as before.
+            # check_nan accepts the sync and drains EVERY flush: the sentinel
+            # dumps self.state.params at resolve time, so a lagged resolve
+            # would dump parameters already poisoned by later optimizer
+            # steps instead of the state that produced the first bad pass
+            # (advisor r4) — NaN debugging trades throughput for fidelity.
             def ready(entry):
                 try:
                     return all(l.is_ready() for l in jax.tree.leaves(entry[0]))
                 except Exception:
                     return True
-            while len(pending) > (0 if final else 1) and (
-                    final or ready(pending[0])):
+            drain = final or check_nan
+            while len(pending) > (0 if drain else 1) and (
+                    drain or ready(pending[0])):
                 resolve(pending.pop(0))
 
         # one device key per epoch; each pass derives its rng ON DEVICE as

@@ -586,6 +586,10 @@ class ViTBlock(nn.Module):
             if self.window_size > 0:
                 x = window_unpartition(x, self.window_size, pad_hw, (h, w))
             x = shortcut + x
+        # named checkpoint for the "attn" remat policy: saving this one
+        # tensor per block lets the rematerialized backward recompute only
+        # the dense glue, never the attention forward kernels
+        x = jax.ad_checkpoint.checkpoint_name(x, "vit_attn_out")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(self.dim, int(self.dim * self.mlp_ratio), act=self.act,
                      dtype=self.dtype, name="mlp")(y)
@@ -615,7 +619,10 @@ class ImageEncoderViT(nn.Module):
     project_last_hidden: bool = True
     act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    # False/None = no remat; True/"full" = rerun each block in backward;
+    # "attn" = save only attention-stage outputs; "dots" = save matmul
+    # outputs (see __call__ for the trade-offs)
+    remat: Any = False
     use_kernel: bool = True
     # head-sharded tensor-parallel attention (ViTAttention._tp_attention);
     # keeps use_kernel=True alive under TP
@@ -638,7 +645,25 @@ class ImageEncoderViT(nn.Module):
 
         block_cls = ViTBlock
         if self.remat:
-            block_cls = nn.remat(ViTBlock, static_argnums=())
+            # remat policies for the fine-tune path (PERF.md round-5 remat
+            # tax): "full"/True reruns the whole block forward in backward
+            # (max memory savings, ~1 extra forward of recompute); "attn"
+            # saves ONLY each block's attention-stage output (the named
+            # checkpoint in ViTBlock) so the backward recomputes just the
+            # dense glue (LN/qkv/proj/MLP) and never re-runs the attention
+            # forward kernels; "dots" saves all matmul outputs (recompute =
+            # elementwise + the attention kernels, which a dots policy
+            # cannot see inside pallas_call).
+            kw = {}
+            if self.remat == "attn":
+                kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                    "vit_attn_out")
+            elif self.remat == "dots":
+                kw["policy"] = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            elif self.remat not in (True, "full"):
+                raise ValueError(f"unknown remat policy: {self.remat!r}")
+            block_cls = nn.remat(ViTBlock, static_argnums=(), **kw)
         for i in range(self.depth):
             x = block_cls(
                 dim=self.embed_dim,

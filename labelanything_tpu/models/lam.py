@@ -110,7 +110,8 @@ class Lam(nn.Module):
 
         return maybe_normalize_images(
             batched_input[BatchKeys.IMAGES], batched_input[BatchKeys.DIMS],
-            self.image_size, self.custom_preprocess)
+            self.image_size, self.custom_preprocess,
+            resized_dims=batched_input.get(BatchKeys.RESIZED_DIMS))
 
     def _fuse_pyramid(self, pyramid: Dict[str, jax.Array]) -> jax.Array:
         """Fuse a {"stageN": (B, N, H, W, C)} pyramid-cache dict through the
@@ -259,7 +260,12 @@ class Lam(nn.Module):
         the postprocess HBM bill for precision the inputs never had
         (measured 0.349 -> 0.153 ms at decode shapes,
         scripts/microbench_post.py; the loss upcasts logits on entry).
-        ``LA_TPU_POSTPROCESS_FP32=1`` restores the fp32 path for A/B.
+        ``LA_TPU_POSTPROCESS_FP32=1`` restores the fp32 path for A/B —
+        read at TRACE time (like LA_TPU_DISABLE_FUSED_BWD): set it before
+        the first compilation; flipping it later has no effect on already-
+        jitted programs. Numerics bound: tests/test_postprocess_bf16.py
+        asserts the bf16 branch's logits stay within bf16 ulp of fp32 and
+        the episode argmax/mIoU delta is ~0 (measured value in PERF.md).
         """
         s = self.image_size
         if (getattr(self.mask_decoder, "dtype", jnp.float32) == jnp.bfloat16

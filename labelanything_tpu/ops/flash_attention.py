@@ -905,14 +905,18 @@ def _fused_bwd_disabled() -> bool:
 def _fused_bwd_ok(dtype) -> bool:
     """True when the fused Pallas backward may be used for this dtype.
 
-    Empirical Mosaic limitation (jax 0.6.x, 2026-08): the multi-q-block
-    backward grid compiles in seconds for bf16 but the fp32 variant of the
-    SAME shape never returns from the Mosaic compiler (single-q-block fp32
-    is fine — the pathology is fp32 + cross-q-block VMEM scratch
-    accumulation). Production training runs the bf16 policy
-    (parallel/train_step.py), so bf16 gets the fused kernels and fp32
-    falls back to the proven q-chunked XLA recompute-VJP. Interpret mode
-    (CPU tests) has no Mosaic involvement and allows every dtype."""
+    History: the round-4 gate was an empirical Mosaic limitation (the fp32
+    multi-q-block backward never returned from the compiler). Re-examined
+    round 5 with scripts/repro_fp32_mosaic_hang.py: the current toolchain
+    COMPILES the fp32 variant fine at every shape (minimal 2-q-block and
+    production B=6/N=4096 alike, ~13 s) — the hang is fixed. The gate now
+    stays on MEASURED PERFORMANCE grounds: the fused fp32 kernels run at
+    458 ms (global) / 496 ms (windowed) vs the q-chunked XLA recompute-VJP's
+    161 / 36.5 ms at the same shapes on v5e (fp32 halves MXU throughput and
+    VMEM blocking; the kernels' block sizes are tuned for bf16), so fp32
+    callers get the FASTER path by falling back. Production training runs
+    the bf16 policy (parallel/train_step.py) and gets the fused kernels.
+    Interpret mode (CPU tests) allows every dtype."""
     return _INTERPRET or dtype == jnp.bfloat16
 
 

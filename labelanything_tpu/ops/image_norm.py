@@ -40,19 +40,34 @@ def preprocess_shape_traced(dims: jax.Array, long_side: int):
 
 
 def normalize_images(images: jax.Array, dims: jax.Array, long_side: int,
-                     custom_preprocess: bool = True) -> jax.Array:
+                     custom_preprocess: bool = True,
+                     resized_dims: jax.Array | None = None) -> jax.Array:
     """uint8 (..., S, S, 3) -> normalized fp32, pad region zeroed.
 
     ``dims`` is the per-image original (H, W) (any leading shape matching
     ``images.shape[:-3]``); with ``custom_preprocess=False`` every image
-    fills the square frame and no pad masking applies."""
+    fills the square frame and no pad masking applies.
+
+    ``resized_dims`` is the post-resize content extent (h, w) SHIPPED BY THE
+    LOADER (BatchKeys.RESIZED_DIMS) — the exact shape the host resize
+    produced, used verbatim when present. The traced re-derivation below is
+    the fallback for synthetic callers (where dims are constructed and there
+    is no host resize to match). A brute-force search of all near-tie
+    (h, m) up to m=100000 at S=1024 found the exact-integer fallback and
+    the host's f64 arithmetic always agree, but the shipped extent is exact
+    BY CONSTRUCTION and immune to host-side arithmetic changes
+    (advisor r4)."""
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     x = images.astype(jnp.float32) / 255.0
     x = (x - mean) / std
     if custom_preprocess:
         s = images.shape[-2]
-        nh, nw = preprocess_shape_traced(dims, long_side)
+        if resized_dims is not None:
+            nh = resized_dims[..., 0].astype(jnp.int32)
+            nw = resized_dims[..., 1].astype(jnp.int32)
+        else:
+            nh, nw = preprocess_shape_traced(dims, long_side)
         row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
         valid = ((row < nh[..., None, None])
@@ -63,9 +78,11 @@ def normalize_images(images: jax.Array, dims: jax.Array, long_side: int,
 
 def maybe_normalize_images(images: jax.Array, dims: jax.Array,
                            long_side: int,
-                           custom_preprocess: bool = True) -> jax.Array:
+                           custom_preprocess: bool = True,
+                           resized_dims: jax.Array | None = None) -> jax.Array:
     """Pass-through for the legacy fp32 host-normalized path; normalize on
     device when the loader shipped uint8 pixels."""
     if images.dtype == jnp.uint8:
-        return normalize_images(images, dims, long_side, custom_preprocess)
+        return normalize_images(images, dims, long_side, custom_preprocess,
+                                resized_dims=resized_dims)
     return images

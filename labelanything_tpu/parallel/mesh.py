@@ -57,6 +57,14 @@ def create_mesh(
             raise ValueError(f"{n} devices across {num_slices} slices")
         per = n // num_slices
         slices = [devices[i * per:(i + 1) * per] for i in range(num_slices)]
+    elif num_slices is not None and num_slices != len(slices):
+        # a forced decomposition that disagrees with the backend's real
+        # slice topology would silently produce a DIFFERENT layout than the
+        # caller asked for (advisor r4) — refuse instead
+        raise ValueError(
+            f"num_slices={num_slices} but the backend reports "
+            f"{len(slices)} slice(s); forcing a simulated decomposition is "
+            f"only valid when the backend reports exactly one slice")
     per = len(slices[0])
     if any(len(s) != per for s in slices):
         raise ValueError("unequal slice sizes: " +

@@ -55,6 +55,10 @@ class BatchKeys(StrEnum):
     FLAG_BBOXES = "flag_bboxes"            # (B, M, C, N) int in {0, 1}
     FLAG_EXAMPLES = "flag_examples"        # (B, M, C) int in {0, 1}
     DIMS = "dims"                          # (B, N, 2) int (H, W) original sizes
+    RESIZED_DIMS = "resized_dims"          # (B, N, 2) int (h, w) post-resize
+    #   content extent inside the padded square frame — shipped by the uint8
+    #   ingest loader so device normalization masks EXACTLY the rows/cols the
+    #   host resize produced instead of re-deriving them (ops/image_norm.py)
     CLASSES = "classes"                    # host-side metadata (list of lists)
     INTENDED_CLASSES = "intended_classes"
     IMAGE_IDS = "image_ids"

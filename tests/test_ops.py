@@ -92,6 +92,73 @@ def test_device_normalize_bitmatches_host(custom):
                                rtol=0, atol=1e-6)
 
 
+def test_device_normalize_shipped_extents_used_verbatim():
+    """The loader ships RESIZED_DIMS (the exact host resize extent) and the
+    device mask must follow it VERBATIM, never re-deriving from the original
+    dims (advisor r4: re-derivation could in principle drift from the host's
+    float rounding; a brute-force search of all near-tie (h, m) up to
+    m=100000 at S=1024 found the exact-integer fallback and host f64 always
+    agree, but shipped extents make the match exact BY CONSTRUCTION and
+    immune to any future host-side arithmetic change)."""
+    from labelanything_tpu.data.transforms import get_preprocess_shape
+    from labelanything_tpu.ops.image_norm import (normalize_images,
+                                                  preprocess_shape_traced)
+
+    s = 64
+    h, w = 30, 90
+    host_nh, host_nw = get_preprocess_shape(h, w, s)
+    tr_nh, _ = preprocess_shape_traced(jnp.asarray([h, w], jnp.int32), s)
+    assert int(tr_nh) == host_nh  # fallback agrees on realistic sizes
+
+    u8 = np.full((1, s, s, 3), 255, np.uint8)
+    dims = jnp.asarray([[h, w]], jnp.int32)
+    # ship a DELIBERATELY different extent: the mask must follow it, proving
+    # the shipped value is authoritative (not the derivation)
+    rdims = jnp.asarray([[host_nh - 3, host_nw]], jnp.int32)
+    out = np.asarray(normalize_images(jnp.asarray(u8), dims, s,
+                                      resized_dims=rdims))
+    assert np.all(out[:, host_nh - 3:, :, :] == 0.0)
+    assert np.all(out[:, :host_nh - 3, :, :] != 0.0)
+    # without resized_dims the fallback derivation masks at host_nh
+    out_fb = np.asarray(normalize_images(jnp.asarray(u8), dims, s))
+    assert np.all(out_fb[:, host_nh:, :, :] == 0.0)
+    assert np.all(out_fb[:, :host_nh, :, :] != 0.0)
+
+
+def test_uint8_episode_ships_resized_dims(tmp_path):
+    """device_normalize episodes carry BatchKeys.RESIZED_DIMS computed by
+    the same host function the resize used, and the collate stacks it."""
+    from labelanything_tpu.benchmarks import _write_synthetic_coco
+    from labelanything_tpu.data.dataset import (LabelAnythingDataset,
+                                                VariableBatchSampler)
+    from labelanything_tpu.data.transforms import get_preprocess_shape
+    from labelanything_tpu.typing import BatchKeys
+
+    _write_synthetic_coco(tmp_path, n_images=6, image_size=64)
+    dataset = LabelAnythingDataset(
+        {"coco": {"instances_path": str(tmp_path / "instances.json"),
+                  "img_dir": str(tmp_path / "images")}},
+        {"image_size": 64, "seed": 0, "load_gts": False,
+         "do_subsample": False, "add_box_noise": False,
+         "device_normalize": True},
+    )
+    sampler = VariableBatchSampler(
+        dataset, possible_batch_example_nums=[[2, 1, 2]],
+        prompt_types=["point", "bbox", "mask"], shuffle=False, num_steps=1,
+        seed=0)
+    indices = next(iter(sampler))
+    (batch, _gts), _names = dataset.collate_fn(
+        [dataset[i] for i in indices])
+    assert batch[BatchKeys.IMAGES].dtype == np.uint8
+    rd = batch[BatchKeys.RESIZED_DIMS]
+    dims = batch[BatchKeys.DIMS]
+    assert rd.shape == dims.shape
+    for b in range(dims.shape[0]):
+        for n in range(dims.shape[1]):
+            assert tuple(rd[b, n]) == get_preprocess_shape(
+                int(dims[b, n, 0]), int(dims[b, n, 1]), 64)
+
+
 @pytest.mark.parametrize("q_len", [64, 1152, 512])
 def test_flash_attention_interpret_matches_xla(q_len):
     """Kernel grid/block logic incl. the q_len % 256 != 0 tail (e.g. 1152),

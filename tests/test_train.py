@@ -498,4 +498,10 @@ def test_training_fits_learnable_synthetic_task(dtype):
                           apply_update=True)
         losses.append(float(aux["loss"]))
     assert np.isfinite(losses).all()
-    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    # assert on the MINIMUM, not the final step: at this deliberately hot
+    # lr (2e-3) the memorization run converges and then OSCILLATES
+    # (measured bf16 trajectory: 0.031 @150 then swings 0.25-0.40), and
+    # backend rounding differences shift the oscillation phase — a
+    # fixed-step assertion flakes across toolchains while the reached
+    # minimum proves learnability just as strictly
+    assert min(losses) < 0.35 * losses[0], (losses[0], min(losses))

@@ -391,7 +391,7 @@ def bench_train(batch_size=8, ways=5, shots=1, image_size=480, steps=24,
 
 
 def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
-                   reps=3, include_masks=True, encoder_remat="full"):
+                   reps=3, include_masks=True, encoder_remat="none"):
     """Images-path fine-tune step throughput: SAM ViT-B @1024px / embed 512
     trained END TO END (forward + focal loss + backward through the full
     encoder + AdamW), the configuration of the reference's released SAM
@@ -405,10 +405,14 @@ def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
     against 3x the forward FLOPs estimate (fwd + 2x bwd for the dense path;
     XLA's own cost analysis does not see inside custom_vjp kernels).
 
-    ``encoder_remat`` selects the rematerialization policy ("full", "attn",
-    "dots", "none" — models/image_encoder.py); the preflight's 5.01/16 GB
-    at "full" showed 3x headroom, so the cheaper policies are real options
-    at this batch — measured numbers in PERF.md (round-5 remat tax)."""
+    ``encoder_remat`` selects the rematerialization policy ("none", "full",
+    "attn", "dots" — models/image_encoder.py). Default "none": the round-5
+    remat-tax measurement (PERF.md) found no-remat fits this batch with
+    headroom (9.62/16 GB AOT) and runs 228.7 ms/step (MFU 0.374) vs full
+    remat's 282 ms (0.304); the partial policies recovered almost nothing
+    (attn 279.1, dots 275.2) because the recompute saved is dominated by
+    the dense glue, not the attention kernels. "full" remains the fallback
+    for bigger batches/models where activations don't fit."""
     from labelanything_tpu.data.synthetic import random_full_batch
     from labelanything_tpu.models.build_lam import build_lam_vit_b
     from labelanything_tpu.parallel.train_step import (init_train_state,
@@ -474,7 +478,7 @@ def bench_finetune(batch_size=2, ways=1, shots=2, image_size=1024, steps=6,
     # fwd + backward ~= 3x forward matmul FLOPs for the encoder-dominated
     # step (each matmul's VJP is two matmuls of the same size)
     train_flops = 3.0 * _vit_flops_per_image(image_size, "vit_b") * imgs
-    remat_tag = "" if encoder_remat == "full" else f", remat={encoder_remat}"
+    remat_tag = "" if encoder_remat == "none" else f", remat={encoder_remat}"
     return _attach_mfu({
         "metric": (f"train images/sec (SAM ViT-B {image_size}px fine-tune, "
                    f"{ways}-way {shots}-shot batch {batch_size}, bf16, "

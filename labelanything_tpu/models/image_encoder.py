@@ -27,6 +27,7 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import dot_product_attention
 from .common import LayerNorm2d, MLPBlock
@@ -589,7 +590,7 @@ class ViTBlock(nn.Module):
         # named checkpoint for the "attn" remat policy: saving this one
         # tensor per block lets the rematerialized backward recompute only
         # the dense glue, never the attention forward kernels
-        x = jax.ad_checkpoint.checkpoint_name(x, "vit_attn_out")
+        x = checkpoint_name(x, "vit_attn_out")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(self.dim, int(self.dim * self.mlp_ratio), act=self.act,
                      dtype=self.dtype, name="mlp")(y)

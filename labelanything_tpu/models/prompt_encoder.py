@@ -41,6 +41,40 @@ def _shared_keys_disabled() -> bool:
         not in ("", "0", "false", "no", "off")
 
 
+def _mask_factor_disabled() -> bool:
+    """Kill switch for the factored with-masks fusion path (rank-16 mask
+    correction through the shared-keys machinery; see __call__). Read at
+    TRACE time, like LA_TPU_DISABLE_SHARED_KEYS."""
+    return os.environ.get("LA_TPU_DISABLE_MASK_FACTOR", "").strip().lower() \
+        not in ("", "0", "false", "no", "off")
+
+
+class _Conv1x1(nn.Module):
+    """1x1 conv with its parameters exposed (kernel (1, 1, Cin, Cout) +
+    bias), param-tree-compatible with nn.Conv. The factored with-masks path
+    folds this kernel into downstream projection weights, which nn.Conv's
+    encapsulation cannot express."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return (x.astype(self.dtype) @ self.kernel[0, 0].astype(self.dtype)
+                + self.bias.astype(self.dtype))
+
+    def kernel_bias(self):
+        return (self.kernel[0, 0].astype(self.dtype),
+                self.bias.astype(self.dtype))
+
+
 class PositionEmbeddingRandom(nn.Module):
     """Random-Fourier positional encoding
     (reference: prompt_encoder.py:187-233).
@@ -334,7 +368,11 @@ class PromptImageEncoder(nn.Module):
             LayerNorm2d(c // 4, dtype=self.dtype, name="mask_down_ln1"),
             nn.Conv(c, (2, 2), strides=(2, 2), dtype=self.dtype, name="mask_down_conv2"),
             LayerNorm2d(c, dtype=self.dtype, name="mask_down_ln2"),
-            nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="mask_down_conv3"),
+            # param-exposing 1x1 (same tree names/shapes as nn.Conv): the
+            # factored with-masks path folds this kernel into the fusion
+            # transformer's packed projection (rank-Cm correction)
+            _Conv1x1(self.embed_dim, c, dtype=self.dtype,
+                     name="mask_down_conv3"),
         ]
 
         self.sparse_embedding_attention = AttentionMLPBlock(
@@ -471,6 +509,67 @@ class PromptImageEncoder(nn.Module):
         is_null = (mask_flags == Label.NULL)[..., None, None, None]
         return jnp.where(is_null, self.not_a_mask_embed[0], x)
 
+    def _embed_sparse(self, points, boxes, bmc):
+        """Sparse prompt embedding + per-example token attention (the sparse
+        half of embed_points_masks)."""
+        b, m, c = bmc
+        sparse_parts = []
+        if points is not None:
+            coords, labels = points
+            sparse_parts.append(
+                self._embed_points(coords, labels, pad=(boxes is None)))
+        if boxes is not None:
+            sparse_parts.append(self._embed_boxes(*boxes))
+        if sparse_parts:
+            sparse = jnp.concatenate(sparse_parts, axis=3)
+        else:
+            sparse = jnp.broadcast_to(
+                self.no_sparse_embedding[0][None, None, None, None],
+                (b, m, c, 1, self.embed_dim),
+            )
+
+        # attention over all class-tokens of one example: (b m) (c n) d
+        n_tok = sparse.shape[3]
+        sparse = sparse.reshape(b * m, c * n_tok, self.embed_dim)
+        sparse = self.sparse_embedding_attention(sparse)
+        return sparse.reshape(b, m, c, n_tok, self.embed_dim)
+
+    def _embed_masks_factored(self, masks: jax.Array, mask_flags: jax.Array):
+        """Factored dense mask embedding for the rank-Cm fusion fast path.
+
+        Runs the mask_downscaling TRUNK only (conv1/ln1/act/conv2/ln2/act —
+        everything except the final 1x1 conv) and splits the dense embedding
+        exactly as ``dense == h2 @ W3 + u``:
+
+          * h2: (B, M, C, h', w', Cm) trunk features, ZEROED on NULL
+            instances (Cm = mask_in_chans, 16 — the rank of the spatial
+            correction);
+          * u: (B, M, C, D) spatially-uniform term — conv3's bias for real
+            masks, ``not_a_mask_embed`` for NULL instances (where h2 is 0,
+            so h2 @ W3 + u == not_a_mask_embed verbatim, matching
+            _embed_masks' where());
+          * W3: (Cm, D) the final 1x1 kernel, returned for folding into the
+            fusion transformer's packed projection.
+
+        The point: downstream consumers stream the 16-channel h2 instead of
+        the 256-channel dense map (16x fewer bytes/MACs on every projection
+        that touches it), and the uniform u rides the existing rank-1
+        shared-keys machinery."""
+        b, m, c, hm, wm = masks.shape
+        x = masks.reshape(b * m * c, hm, wm, 1).astype(self.dtype)
+        conv1, ln1, conv2, ln2, conv3 = self.mask_downscaling
+        x = self.activation(ln1(conv1(x)))
+        x = self.activation(ln2(conv2(x)))
+        h, w = x.shape[1:3]
+        x = x.reshape(b, m, c, h, w, x.shape[-1])
+        is_null = mask_flags == Label.NULL
+        x = jnp.where(is_null[..., None, None, None], 0.0, x)
+        w3, bias = conv3.kernel_bias()
+        u = jnp.where(is_null[..., None],
+                      self.not_a_mask_embed[0].astype(self.dtype),
+                      jnp.broadcast_to(bias, (b, m, c, self.embed_dim)))
+        return x, u, w3
+
     def embed_points_masks(self, points, boxes, masks):
         """Sparse + dense prompt embedding (reference: prompt_encoder.py:564-644).
 
@@ -487,26 +586,7 @@ class PromptImageEncoder(nn.Module):
         else:
             raise ValueError("No prompts provided")
         b, m, c = shape[0], shape[1], shape[2]
-
-        sparse_parts = []
-        if points is not None:
-            coords, labels = points
-            sparse_parts.append(self._embed_points(coords, labels, pad=(boxes is None)))
-        if boxes is not None:
-            sparse_parts.append(self._embed_boxes(*boxes))
-        if sparse_parts:
-            sparse = jnp.concatenate(sparse_parts, axis=3)
-        else:
-            sparse = jnp.broadcast_to(
-                self.no_sparse_embedding[0][None, None, None, None],
-                (b, m, c, 1, self.embed_dim),
-            )
-
-        # attention over all class-tokens of one example: (b m) (c n) d
-        n_tok = sparse.shape[3]
-        sparse = sparse.reshape(b * m, c * n_tok, self.embed_dim)
-        sparse = self.sparse_embedding_attention(sparse)
-        sparse = sparse.reshape(b, m, c, n_tok, self.embed_dim)
+        sparse = self._embed_sparse(points, boxes, (b, m, c))
 
         if masks is not None:
             dense = self._embed_masks(*masks)
@@ -537,7 +617,8 @@ class PromptImageEncoder(nn.Module):
         return keys.reshape(b * m * c, h, w, d)
 
     def apply_transformer_shared(self, src_base, pos_src, sparse_embeddings,
-                                 shift, *, deterministic=True):
+                                 shift, *, shift_map=None,
+                                 shift_map_proj=None, deterministic=True):
         """Shared-keys fast path: the per-(example, class) image operand is
         ``src_base[b, m] + shift[b, m, c]`` with a spatially UNIFORM shift
         (no mask prompts: dense = no_mask_embed + class-bank row). The
@@ -546,15 +627,25 @@ class PromptImageEncoder(nn.Module):
         (the reference instead chunks this axis for memory,
         reference: prompt_encoder.py:677-694).
 
+        With ``shift_map`` (B, M, C, h, w, Cm) + ``shift_map_proj`` (Cm, D)
+        — the factored mask correction — the effective operand grows the
+        spatially-varying term ``shift_map @ shift_map_proj``; the
+        transformer streams the 16-channel map directly (rank-Cm path).
+
         src_base: (B, M, h, w, D); sparse: (B, M, C, N, D); shift: (B, M, C, D).
         Returns fused (B*M*C, h, w, D)."""
         b, m, c, n, d = sparse_embeddings.shape
         h, w = src_base.shape[2:4]
         src = src_base.reshape(b * m, h, w, d)
         sparse = sparse_embeddings.reshape(b * m * c, n, d)
+        if shift_map is not None:
+            shift_map = shift_map.reshape(
+                (b * m * c, h, w, shift_map.shape[-1]))
         _, keys = self.transformer(
             src, pos_src, sparse,
             image_shift=shift.reshape(b * m * c, d),
+            image_shift_map=shift_map,
+            image_shift_proj=shift_map_proj,
             deterministic=deterministic,
         )
         return keys.reshape(b * m * c, h, w, d)
@@ -637,24 +728,55 @@ class PromptImageEncoder(nn.Module):
         *,
         deterministic: bool = True,
     ) -> dict:
-        sparse, dense = self.embed_points_masks(points, boxes, masks)
-        b, m, c = dense.shape[:3]
-        pos_src = self.get_dense_pe()  # (1, h, w, D)
-
-        # shared-keys fast path: with no mask prompts the dense embedding is
-        # spatially uniform (no_mask_embed) and Random/Identity class encoders
-        # only add a uniform (C, D) row, so the image operand is
-        # base[b, m] + u[b, m, c] — a rank-1 structure the blockdiag
-        # transformer exploits exactly (ops/twoway_blockdiag.py)
-        uniform_dense = (
-            masks is None
-            and self.use_support_features
+        # eligibility for the structured fusion fast paths
+        # (ops/twoway_blockdiag.py): Random/Identity class encoders only add
+        # a spatially-uniform (C, D) row, so the image operand decomposes as
+        # base[b, m] + <structured correction>
+        structured_ok = (
+            self.use_support_features
             and isinstance(self.transformer, TwoWayTransformer)
             and isinstance(self.class_encoder,
                            (RandomMatrixEncoder, IdentityClassEncoder))
             and not _shared_keys_disabled()
         )
-        if uniform_dense:
+        # rank-1: no mask prompts — dense is the uniform no_mask_embed
+        uniform_dense = masks is None and structured_ok
+        # rank-Cm: mask prompts — dense == h2 @ W3 + u with a 16-channel h2
+        # (mask_downscaling's final 1x1 factored out), so layer 1 streams
+        # 16-wide trunk features instead of the 256-wide dense map
+        factored_dense = (masks is not None and structured_ok
+                          and not _mask_factor_disabled())
+
+        if factored_dense:
+            b, m, c = masks[0].shape[:3]
+            sparse = self._embed_sparse(points, boxes, (b, m, c))
+        else:
+            sparse, dense = self.embed_points_masks(points, boxes, masks)
+            b, m, c = dense.shape[:3]
+        pos_src = self.get_dense_pe()  # (1, h, w, D)
+
+        if factored_dense:
+            h2, u, w3 = self._embed_masks_factored(*masks)
+            if image_embeddings.shape[2:4] != h2.shape[3:5]:
+                # resize the TRUNK features (Cm=16 channels, 16x cheaper
+                # than resizing the 256-dim dense map); exact: the 1x1 conv
+                # is channel-wise linear, so it commutes with bilinear
+                # interpolation
+                h2 = resize_bilinear(
+                    h2.reshape((-1,) + h2.shape[3:]),
+                    image_embeddings.shape[2:4],
+                    spatial_axes=(1, 2),
+                ).reshape(h2.shape[:3] + image_embeddings.shape[2:4]
+                          + h2.shape[-1:])
+            proxy = u[:, :, :, None, None, :]
+            shift_enc, sparse_enc = self.class_encoder(proxy, sparse)
+            src = self.apply_transformer_shared(
+                image_embeddings, pos_src,
+                sparse_enc, shift_enc[:, :, :, 0, 0, :],
+                shift_map=h2, shift_map_proj=w3,
+                deterministic=deterministic,
+            )
+        elif uniform_dense:
             proxy = jnp.broadcast_to(
                 self.no_mask_embed[0][None, None, None, None, None],
                 (b, m, c, 1, 1, self.embed_dim),

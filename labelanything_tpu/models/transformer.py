@@ -262,13 +262,18 @@ class TwoWayTransformer(nn.Module):
         query_mask: Optional[jax.Array] = None,
         *,
         image_shift: Optional[jax.Array] = None,  # (B, D) uniform per-instance
+        image_shift_map: Optional[jax.Array] = None,   # (B, H, W, Cm)
+        image_shift_proj: Optional[jax.Array] = None,  # (Cm, D)
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         """With ``image_shift``, ``image_embedding`` holds B/group SHARED base
         maps and the effective per-instance input is
         ``base[b // group] + image_shift[b]`` (spatially uniform shift) — the
         blockdiag path exploits this exactly (rank-1 linearity); other paths
-        expand it eagerly."""
+        expand it eagerly. ``image_shift_map`` + ``image_shift_proj`` add a
+        spatially-varying low-rank term ``map @ proj`` (the factored mask
+        correction, Cm = mask_in_chans): the blockdiag path streams the
+        Cm-channel map and folds ``proj`` into its packed projection."""
         from ..ops.attention import _on_tpu
         from ..ops import fused_twoway as _ft
         from ..ops import twoway_blockdiag as _bd
@@ -300,8 +305,12 @@ class TwoWayTransformer(nn.Module):
             image_embedding = (
                 jnp.repeat(image_embedding, group, axis=0)
                 + image_shift[:, None, None, :].astype(image_embedding.dtype))
+            if image_shift_map is not None:
+                image_embedding = image_embedding + (
+                    image_shift_map @ image_shift_proj
+                ).astype(image_embedding.dtype)
             keys = _flatten_image(image_embedding)
-            image_shift = None
+            image_shift = image_shift_map = image_shift_proj = None
         if blockdiag:
             params = []
             for i in range(self.depth):
@@ -314,10 +323,13 @@ class TwoWayTransformer(nn.Module):
                 name="final_attn_token_to_image")())
             params.extend(_LNP(name="norm_final_attn")(self.embedding_dim))
             key_pe = _flatten_image(image_pe)[0]
+            shift_map = (None if image_shift_map is None
+                         else _flatten_image(image_shift_map))
             return _bd.twoway_blockdiag(
                 keys, queries, key_pe, tuple(params), self.depth,
                 self.num_heads, self.attention_downsample_rate,
-                self.activation, self.dtype, key_shift=image_shift)
+                self.activation, self.dtype, key_shift=image_shift,
+                key_shift_map=shift_map, key_shift_proj=image_shift_proj)
         if fused:
             params = []
             for i in range(self.depth):

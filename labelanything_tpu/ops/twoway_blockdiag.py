@@ -169,13 +169,27 @@ def twoway_blockdiag(
     activation: Callable,
     dtype: jnp.dtype,
     key_shift: Optional[jax.Array] = None,  # (G, D) uniform per-instance shift
+    key_shift_map: Optional[jax.Array] = None,   # (G, S, Cm) low-rank map
+    key_shift_proj: Optional[jax.Array] = None,  # (Cm, D)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (queries, keys), matching TwoWayTransformer.__call__.
 
     With ``key_shift``, the effective image operand is
     ``keys[g] = keys[g // group] + key_shift[g]`` (group = G // BM) and
     layer 1's image-side computation runs over the BM base instances only
-    (see module docstring — exact by linearity/softmax identities)."""
+    (see module docstring — exact by linearity/softmax identities).
+
+    With ``key_shift_map`` + ``key_shift_proj`` (the factored mask
+    correction, Cm = mask_in_chans = 16) the effective operand adds the
+    spatially-varying ``map[g] @ proj``: layer 1's packed projection becomes
+    ``repeat(pk_base) + (u @ Wpack) + map @ (proj @ Wpack)`` — the base
+    projection still runs per (b, m), and the correction streams the
+    16-channel map through a folded (Cm, 3I) weight, 16x fewer bytes/MACs
+    than projecting the materialized 256-dim keys. The per-instance keys
+    array first materializes alongside (needed from the layer-1 image-side
+    residual on); the softmax cancellation tricks of the rank-1 path do not
+    apply (the correction varies over S), so the attention math past the
+    projection runs the plain per-instance path."""
     g = point_embedding.shape[0]
     shared = key_shift is not None
     if shared:
@@ -241,6 +255,15 @@ def twoway_blockdiag(
 
     reassoc = _reassoc_enabled()
 
+    if shared and key_shift_map is not None and reassoc:
+        # the opt-in re-associated variant has no packed projection to fold
+        # the map correction into — expand eagerly and run it per-instance
+        keys = (jnp.repeat(keys, group, axis=0)
+                + key_shift.astype(dtype)[:, None, :]
+                + (key_shift_map @ key_shift_proj).astype(dtype))
+        shared = False
+        key_shift = key_shift_map = key_shift_proj = None
+
     for layer in range(depth):
         p_self = take(_ATTN_N)
         n1s, n1b = take(2)
@@ -296,6 +319,23 @@ def twoway_blockdiag(
             bpack = jnp.concatenate([bk, bv, bq_i2t])
             pk = (keys + kpe) @ wpack + bpack  # (G or BM, S, 3I)
             v_corr = kpe @ wv                           # (1, S, I)
+            if in_shared and key_shift_map is not None:
+                # rank-Cm mask correction: fold the 1x1 conv into the packed
+                # projection; the BM-instance base projection above is the
+                # only pass over the 256-dim keys, the per-instance
+                # correction streams the 16-channel map
+                shift = key_shift.astype(dtype)
+                m16 = key_shift_map.astype(dtype)
+                wmap = key_shift_proj.astype(dtype) @ wpack   # (Cm, 3I)
+                pk = (jnp.repeat(pk, group, axis=0)
+                      + (shift @ wpack)[:, None, :]
+                      + m16 @ wmap)                           # (G, S, 3I)
+                # materialize the per-instance keys for the layer-1 i2t
+                # residual + layers >= 2 (as the rank-1 path does)
+                keys = (jnp.repeat(keys, group, axis=0)
+                        + shift[:, None, :]
+                        + (m16 @ key_shift_proj.astype(dtype)))
+                in_shared = False  # attention math runs per-instance now
             kp = pk[..., :i]
             vp = pk[..., i:2 * i] - v_corr
             qp_img = pk[..., 2 * i:]

@@ -55,8 +55,13 @@ def main() -> None:
     ap.add_argument("--shots", type=int, default=2)
     ap.add_argument("--bench", action="store_true",
                     help="also time the step on the attached device")
+    ap.add_argument("--remat", choices=["none", "full", "attn", "dots"],
+                    default="none",
+                    help="encoder remat policy (default none, the measured-"
+                         "best config that fits — PERF.md round-5 remat tax;"
+                         " full is the fallback for bigger batches)")
     ap.add_argument("--no-remat", action="store_true",
-                    help="disable encoder remat (records the delta)")
+                    help="deprecated alias for --remat none")
     ap.add_argument("--no-accum", action="store_true",
                     help="analyze the no-accumulation fast path instead of "
                          "the worst-case accumulating program")
@@ -64,11 +69,12 @@ def main() -> None:
     args = ap.parse_args()
 
     c = args.ways + 1
+    remat = "none" if args.no_remat else args.remat
     model = build_lam_vit_b(
         embed_dim=512, image_size=1024,
         class_encoder={"name": "RandomMatrixEncoder", "bank_size": 100},
         dtype=jnp.bfloat16,            # mixed precision: fp32 params
-        remat_encoder=not args.no_remat,
+        remat_encoder=False if remat == "none" else remat,
     )
     loss = LabelAnythingLoss(components={"focal": {"weight": 1.0}},
                              class_weighting=True)
@@ -122,7 +128,7 @@ def main() -> None:
     print({k: f"{v/2**30:.3f} GB" for k, v in stats.items()})
     print(f"TOTAL {total/2**30:.2f} GB vs {args.budget_gb:.0f} GB budget "
           f"(batch {args.batch}, {args.ways}-way {args.shots}-shot, "
-          f"remat={'off' if args.no_remat else 'on'}, "
+          f"remat={remat}, "
           f"use_accum={use_accum})")
     if total > args.budget_gb * 2**30:
         if exact:

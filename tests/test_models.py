@@ -65,6 +65,43 @@ def test_prompt_modality_combinations(mods):
     assert out[ResultDict.LOGITS].shape == (2, 3, IMAGE_SIZE, IMAGE_SIZE)
 
 
+@pytest.mark.parametrize("with_points", [True, False])
+def test_factored_mask_path_matches_eager(monkeypatch, with_points):
+    """With mask prompts the prompt encoder takes the rank-Cm factored
+    fusion path (trunk features + folded 1x1, ops/twoway_blockdiag.py);
+    LA_TPU_DISABLE_MASK_FACTOR=1 runs the eager dense-map path. Both must
+    produce the same logits: the factorization is exact by linearity, the
+    only drift is fp rounding (the bilinear resize commutes with the 1x1
+    conv exactly in exact arithmetic). Covers NULL mask instances and the
+    mask -> embedding-grid resize."""
+    import labelanything_tpu.ops.twoway_blockdiag as bd
+
+    batch = tiny_batch(include_points=with_points, include_boxes=False,
+                       include_masks=True)
+    model = tiny_model()
+    params = model.init(jax.random.key(0), batch)
+
+    old_e, old_f = bd._ENABLE, bd._FORCE
+    bd._ENABLE = bd._FORCE = True  # exercise the blockdiag path on CPU
+    try:
+        monkeypatch.delenv("LA_TPU_DISABLE_MASK_FACTOR", raising=False)
+        out_f = jax.jit(lambda p, b: model.apply(p, b))(params, batch)
+        monkeypatch.setenv("LA_TPU_DISABLE_MASK_FACTOR", "1")
+        out_e = jax.jit(lambda p, b: model.apply(p, b))(params, batch)
+    finally:
+        bd._ENABLE, bd._FORCE = old_e, old_f
+
+    a = np.asarray(out_f[ResultDict.LOGITS])
+    b = np.asarray(out_e[ResultDict.LOGITS])
+    np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+    m = np.isfinite(a)
+    np.testing.assert_allclose(a[m], b[m], atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_f[ResultDict.EXAMPLES_CLASS_EMBS]),
+        np.asarray(out_e[ResultDict.EXAMPLES_CLASS_EMBS]),
+        atol=2e-4, rtol=1e-4)
+
+
 def test_generate_class_embeddings_and_predict_match_forward():
     """The cached-class-embedding decode path must agree with full forward."""
     batch = tiny_batch()

@@ -129,6 +129,71 @@ def test_shared_keys_rank1_matches_expanded(setup):
     np.testing.assert_allclose(np.asarray(k_e), np.asarray(k_ref), atol=3e-5)
 
 
+def test_shared_keys_rank16_map_matches_expanded(setup):
+    """image_shift_map + image_shift_proj (the factored mask correction):
+    base + uniform shift + map @ proj must reproduce the plain module path
+    run on the eagerly expanded per-instance keys — the rank-Cm layer-1
+    folding is exact by linearity of the packed projection."""
+    tr, img, pe, tok, params = setup
+    group, cm = 4, 16
+    rng = np.random.default_rng(9)
+    g = B * group
+    shift = jnp.asarray(0.3 * rng.standard_normal((g, D)), jnp.float32)
+    smap = jnp.asarray(0.3 * rng.standard_normal((g, H, W, cm)), jnp.float32)
+    proj = jnp.asarray(0.3 * rng.standard_normal((cm, D)), jnp.float32)
+    tok_g = jnp.asarray(0.5 * rng.standard_normal((g, N, D)), jnp.float32)
+    img_full = (jnp.repeat(img, group, axis=0) + shift[:, None, None, :]
+                + smap @ proj)
+    q_ref, k_ref = _plain(lambda: tr.apply(params, img_full, pe, tok_g))
+
+    q_s, k_s = _blockdiag(
+        lambda: tr.apply(params, img, pe, tok_g, image_shift=shift,
+                         image_shift_map=smap, image_shift_proj=proj))
+    np.testing.assert_allclose(np.asarray(q_s), np.asarray(q_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_ref), atol=3e-5)
+
+    # the eager-expand fallback (blockdiag unavailable) must also agree
+    q_e, k_e = _plain(lambda: tr.apply(params, img, pe, tok_g,
+                                       image_shift=shift,
+                                       image_shift_map=smap,
+                                       image_shift_proj=proj))
+    np.testing.assert_allclose(np.asarray(q_e), np.asarray(q_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(k_e), np.asarray(k_ref), atol=3e-5)
+
+
+def test_shared_keys_rank16_gradients_match(setup):
+    """Gradients through the rank-Cm factored path equal the expanded
+    path's."""
+    tr, img, pe, tok, params = setup
+    group, cm = 2, 16
+    rng = np.random.default_rng(11)
+    g = B * group
+    shift = jnp.asarray(0.3 * rng.standard_normal((g, D)), jnp.float32)
+    smap = jnp.asarray(0.3 * rng.standard_normal((g, H, W, cm)), jnp.float32)
+    proj = jnp.asarray(0.3 * rng.standard_normal((cm, D)), jnp.float32)
+    tok_g = jnp.asarray(0.5 * rng.standard_normal((g, N, D)), jnp.float32)
+
+    def loss_shared(pp):
+        q, k = tr.apply(pp, img, pe, tok_g, image_shift=shift,
+                        image_shift_map=smap, image_shift_proj=proj)
+        return jnp.sum(jnp.square(q)) + jnp.sum(jnp.square(k))
+
+    def loss_full(pp):
+        img_full = (jnp.repeat(img, group, axis=0) + shift[:, None, None, :]
+                    + smap @ proj)
+        q, k = tr.apply(pp, img_full, pe, tok_g)
+        return jnp.sum(jnp.square(q)) + jnp.sum(jnp.square(k))
+
+    g_s = _blockdiag(lambda: jax.grad(loss_shared)(params))
+    g_r = _plain(lambda: jax.grad(loss_full)(params))
+    f1 = flax.traverse_util.flatten_dict(g_s["params"])
+    f0 = flax.traverse_util.flatten_dict(g_r["params"])
+    for k in f0:
+        d = np.abs(np.asarray(f1[k]) - np.asarray(f0[k])).max()
+        scale = np.abs(np.asarray(f0[k])).max()
+        assert d < max(1e-3 * scale, 1e-5), (k, d, scale)
+
+
 def test_shared_keys_gradients_match(setup):
     """Gradients through the shared rank-1 path equal the expanded path's."""
     tr, img, pe, tok, params = setup

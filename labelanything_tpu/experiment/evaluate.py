@@ -58,8 +58,11 @@ def _load_model_params(checkpoint: str, run) -> Any:
                                           load_torch_file, merge_into_params)
 
         sd = load_torch_file(str(p))
-        return merge_into_params({"params": template}, convert_state_dict(sd)
-                                 )["params"]
+        # template IS the model's full flax variables ({"params": ...});
+        # wrapping it in another {"params": ...} double-nested the tree and
+        # made every key "missing" (latent until the torch-file branch was
+        # first exercised, tests/test_evaluate.py torch-layout test)
+        return merge_into_params(template, convert_state_dict(sd))
     if p.is_dir():
         from ..train.checkpoint import load_params
 

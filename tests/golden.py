@@ -753,6 +753,156 @@ class CanonicalCase(Case):
         assert agree > 0.999, agree
 
 
+# -- released-SAM configuration: ViT-B encoder, embed 512, 1024px ----------
+
+@register
+class SamReleasedCase(Case):
+    """Full ``build_lam_vit_b`` forward at the RELEASED SAM-checkpoint
+    configuration — SAM ViT-B encoder, embed 512, 1024px (reference:
+    README.md:64-71, built by build_lam.py:96-235): the exact config the
+    fine-tune bench trains, which previously had no full-forward numeric
+    anchor (the sam_vit fixture is a toy-shape kernel check). Images path:
+    pixels -> windowed/global rel-pos ViT -> SAM neck (256) -> LAM neck
+    256->512 -> fusion at S=4096 -> decode -> postprocess with a non-square
+    query (768x1024) exercising the -inf unpad. 1-way 1-shot at batch 1
+    keeps the torch capture tractable; weights damped 0.5 (12 rel-pos
+    blocks at unit scale amplify fp32 torch-vs-jax drift; damping pulls
+    the net contractive like the HDMNet fixture)."""
+
+    name = "sam_released_full_forward"
+    weight_seed = 107
+    weight_damp = 0.5
+
+    B, M, C, N, S = 1, 1, 2, 2, 1024
+
+    def _inputs(self):
+        rng = np.random.default_rng(1007)
+        B, M, C, N, S = self.B, self.M, self.C, self.N, self.S
+        imgs = rng.standard_normal((B, M + 1, 3, S, S)).astype(np.float32)
+        coords = rng.uniform(0, S, (B, M, C, N, 2)).astype(np.float32)
+        labels = rng.integers(-1, 2, (B, M, C, N)).astype(np.int32)
+        x0 = rng.uniform(0, S / 2, (B, M, C, N, 2)).astype(np.float32)
+        boxes = np.concatenate(
+            [x0, x0 + rng.uniform(8, S / 2, x0.shape)], -1).astype(np.float32)
+        bflags = rng.integers(0, 2, (B, M, C, N)).astype(np.int32)
+        masks = rng.integers(0, 2, (B, M, C, 256, 256)).astype(np.float32)
+        mflags = rng.integers(0, 2, (B, M, C)).astype(np.int32)
+        flag_examples = np.ones((B, M, C), np.int32)
+        dims = np.asarray([[[768, 1024]] * (M + 1)], np.int64)
+        return (imgs, coords, labels, boxes, bflags, masks, mflags,
+                flag_examples, dims)
+
+    @staticmethod
+    def _summarize(logits: np.ndarray) -> Dict[str, np.ndarray]:
+        finite = np.isfinite(logits)
+        safe = np.where(finite, logits, -1e30)
+        return {
+            "strided": logits[:, :, ::8, ::8].astype(np.float32),
+            "argmax": safe.argmax(1).astype(np.uint8),
+            "finite_packed": np.packbits(finite),
+            "shape": np.asarray(logits.shape, np.int64),
+        }
+
+    def _ref_module(self):
+        import sys
+
+        from tests._reference import load
+
+        exports = {
+            "image_encoder": ["ImageEncoderViT"],
+            "mask_decoder": ["MaskDecoderLam"],
+            "prompt_encoder": ["PromptImageEncoder", "RandomMatrixEncoder"],
+            "lam": ["Lam", "BinaryLam"],
+            "transformer": ["IdentityTransformer", "OneWayTransformer",
+                            "TwoWayTransformer"],
+        }
+        for mod_name, names in exports.items():
+            mod = load(f"label_anything.models.{mod_name}")
+            pkg = sys.modules["label_anything.models"]
+            for n in names:
+                setattr(pkg, n, getattr(mod, n))
+        ref_bl = load("label_anything.models.build_lam")
+        return ref_bl.build_lam_vit_b(
+            embed_dim=512, image_size=self.S,
+            class_encoder={"name": "RandomMatrixEncoder",
+                           "bank_size": C_BANK, "embed_dim": 512})
+
+    def ref_shapes(self):
+        return state_shapes(self._ref_module().state_dict())
+
+    def ref_forward(self, weights):
+        import torch
+
+        ref = _load_torch(self._ref_module(), weights)
+        ref.prompt_encoder.class_encoder.sample_rows = (
+            lambda C, device: torch.arange(C, device=device))
+        (imgs, coords, labels, boxes, bflags, masks, mflags, flag_examples,
+         dims) = self._inputs()
+        batch = {
+            "images": _t(imgs),
+            "prompt_points": _t(coords), "flag_points": _t(labels),
+            "prompt_bboxes": _t(boxes), "flag_bboxes": _t(bflags),
+            "prompt_masks": _t(masks), "flag_masks": _t(mflags),
+            "flag_examples": _t(flag_examples), "dims": _t(dims),
+        }
+        with torch.no_grad():
+            seg, _ = ref._forward(batch)
+            post = ref.postprocess_masks(seg, _t(dims))
+        return self._summarize(post.numpy())
+
+    def our_forward(self, weights):
+        import jax
+        import jax.numpy as jnp
+
+        from labelanything_tpu.models.build_lam import build_lam_vit_b
+        from labelanything_tpu.typing import BatchKeys, ResultDict
+        from labelanything_tpu.utils.torch_import import (convert_state_dict,
+                                                          merge_into_params)
+
+        ours = build_lam_vit_b(
+            embed_dim=512, image_size=self.S,
+            class_encoder={"name": "RandomMatrixEncoder",
+                           "bank_size": C_BANK})
+        (imgs, coords, labels, boxes, bflags, masks, mflags, flag_examples,
+         dims) = self._inputs()
+        j = jnp.asarray
+        batch = {
+            BatchKeys.IMAGES: j(imgs.transpose(0, 1, 3, 4, 2)),
+            BatchKeys.PROMPT_POINTS: j(coords),
+            BatchKeys.FLAG_POINTS: j(labels),
+            BatchKeys.PROMPT_BBOXES: j(boxes),
+            BatchKeys.FLAG_BBOXES: j(bflags),
+            BatchKeys.PROMPT_MASKS: j(masks),
+            BatchKeys.FLAG_MASKS: j(mflags),
+            BatchKeys.FLAG_EXAMPLES: j(flag_examples),
+            BatchKeys.DIMS: j(dims),
+        }
+        params = jax.jit(ours.init)(jax.random.key(0), batch)
+        params = merge_into_params(params, convert_state_dict(weights))
+        out = jax.jit(ours.apply)(params, batch)
+        logits = np.asarray(out[ResultDict.LOGITS])
+        # the reference postprocess emits ORIGINAL-dims logits; our
+        # jit-compiled forward emits the fixed 1024-frame with the region
+        # past the content extent set to -inf/0. The dims are chosen so the
+        # content extent EQUALS the original size (768x1024 long-side-1024),
+        # making the reference's final resize an identity — our frame
+        # cropped to (768, 1024) is the same tensor (the fixed-frame unpad
+        # parity itself is covered by canonical_full_forward's ragged batch)
+        h, w = 768, 1024
+        return self._summarize(logits[:, :, :h, :w])
+
+    def compare(self, ours, ref):
+        np.testing.assert_array_equal(ours["shape"], ref["shape"])
+        np.testing.assert_array_equal(ours["finite_packed"],
+                                      ref["finite_packed"])
+        s_ref, s_our = ref["strided"], ours["strided"]
+        finite = np.isfinite(s_ref)
+        np.testing.assert_allclose(s_our[finite], s_ref[finite],
+                                   rtol=2e-3, atol=2e-3)
+        agree = (ours["argmax"] == ref["argmax"]).mean()
+        assert agree > 0.999, agree
+
+
 def make_weights(case: Case,
                  shapes: Optional[Dict[str, Tuple[int, ...]]] = None
                  ) -> Dict[str, np.ndarray]:

@@ -21,7 +21,7 @@ _FAST = {"two_way_transformer", "prompt_image_encoder_all", "sam_vit"}
 
 def _params(name):
     marks = [pytest.mark.fast] if name in _FAST else []
-    slow = {"canonical_full_forward"}
+    slow = {"canonical_full_forward", "sam_released_full_forward"}
     if name in slow:
         marks.append(pytest.mark.slow)
     return pytest.param(name, marks=marks)

@@ -39,7 +39,6 @@ def _build_and_run(monkeypatch, fp32_postprocess: bool):
     return np.asarray(out[ResultDict.LOGITS], np.float32), batch
 
 
-@pytest.mark.fast
 def test_bf16_postprocess_within_bf16_rounding_of_fp32(monkeypatch):
     logits16, batch = _build_and_run(monkeypatch, fp32_postprocess=False)
     logits32, _ = _build_and_run(monkeypatch, fp32_postprocess=True)
@@ -77,7 +76,6 @@ def test_bf16_postprocess_within_bf16_rounding_of_fp32(monkeypatch):
     assert not flips.any(), float(flips.mean())
 
 
-@pytest.mark.fast
 def test_fp32_config_ignores_postprocess_flag(monkeypatch):
     """The bf16 cast is gated on the decoder dtype: an fp32 model must emit
     bit-identical logits whatever the env flag says."""

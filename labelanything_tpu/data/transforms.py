@@ -125,9 +125,18 @@ class PromptsProcessor:
 
     def sample_point(self, mask: np.ndarray) -> Tuple[int, int]:
         """Uniform positive-pixel sample -> (x, y) (reference: transforms.py:152-157)."""
-        coords = np.argwhere(mask)
-        row, col = coords[self.rng.integers(len(coords))]
-        return int(col), int(row)
+        return self.sample_points(mask, 1)[0]
+
+    def sample_points(self, mask: np.ndarray, k: int) -> List[Tuple[int, int]]:
+        """k uniform positive-pixel samples -> [(x, y), ...], ONE pass.
+
+        The per-point argwhere scan was 16% of the episode-assembly profile
+        (each point re-scanned the full-resolution mask); flatnonzero scans
+        once per annotation and all k draws index into it."""
+        flat = np.flatnonzero(mask)
+        idx = flat[self.rng.integers(len(flat), size=k)]
+        w = mask.shape[1]
+        return [(int(i % w), int(i // w)) for i in idx]
 
     # -- coordinate frames ---------------------------------------------- #
 

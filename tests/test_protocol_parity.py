@@ -213,6 +213,12 @@ def _to_torch_batch(batch):
             # ours is channels-last (B, N, H, W, C); reference wants NCHW
             out[k] = torch.from_numpy(np.ascontiguousarray(
                 np.asarray(v).transpose(0, 1, 4, 2, 3)))
+        elif k == BatchKeys.PROMPT_MASKS:
+            # our loader ships binary prompt masks as uint8 (4x fewer
+            # collate/H2D bytes; our model casts on device) — the torch
+            # reference's conv wants the fp32 its own dataloader shipped
+            out[k] = torch.from_numpy(
+                np.asarray(v).astype(np.float32, copy=True))
         elif hasattr(v, "shape"):
             out[k] = torch.from_numpy(np.asarray(v).copy())
         else:

@@ -1,6 +1,7 @@
 """Tests: Pascal datasets, explainer, optunizer, demo app, PE pretraining."""
 
 import json
+import pathlib
 import threading
 
 import numpy as np
@@ -174,3 +175,51 @@ def test_pretraining_smoke(tmp_path):
     params = pretrain_prompt_encoder(
         model, batches, batches, num_epochs=2, patience=2)
     assert params is not None
+
+
+def test_brain_mri_bootstrap_roundtrip(tmp_path):
+    """scripts/prepare_brain_mri.py (reference counterpart:
+    data/medicine.py:27-120): split the Kaggle folder layout, generate the
+    COCO instances.json with our RLE codec, and consume it with the
+    episodic engine."""
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from labelanything_tpu.data.coco import CocoLVISDataset
+    from labelanything_tpu.typing import BatchKeys, BatchMetadataKeys
+
+    raw = tmp_path / "raw"
+    for case in ("TCGA_A1", "TCGA_B2"):
+        d = raw / case
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(len(case))
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)
+                            ).save(d / f"{case}_{i}.tif")
+            m = np.zeros((64, 64), np.uint8)
+            if i % 2 == 0:
+                m[10:30, 15:40] = 255
+            Image.fromarray(m).save(d / f"{case}_{i}_mask.tif")
+
+    script = str(pathlib.Path(__file__).resolve().parents[1]
+                 / "scripts" / "prepare_brain_mri.py")
+    subprocess.run(
+        [sys.executable, script, "split", "--data", str(raw),
+         "--train", str(tmp_path / "train"), "--test", str(tmp_path / "test"),
+         "--copy"], check=True)
+    subprocess.run(
+        [sys.executable, script, "coco-json", "--data",
+         str(tmp_path / "train"),
+         "--out", str(tmp_path / "train" / "instances.json")], check=True)
+
+    ds = CocoLVISDataset(
+        instances_path=str(tmp_path / "train" / "instances.json"),
+        img_dir=str(tmp_path / "train"), image_size=64, n_shots=1,
+        do_subsample=False, add_box_noise=False, load_gts=False, seed=0)
+    item = ds[(0, {BatchMetadataKeys.PROMPT_TYPES: ["mask"],
+                   BatchMetadataKeys.NUM_EXAMPLES: 1})]
+    assert item[BatchKeys.IMAGES].shape == (2, 64, 64, 3)
+    assert item[BatchKeys.PROMPT_MASKS].dtype == np.uint8
+    assert item[BatchKeys.GROUND_TRUTHS].shape == (2, 64, 64)

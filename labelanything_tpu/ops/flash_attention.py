@@ -168,7 +168,7 @@ def _shift_bound(q, k, r=None, rh_width: int = 0):
 
 
 def _bias_loop_vpu(q, k, v, r, m, *, rh_width: int, kw: int, block_k: int,
-                   d: int, out_dtype):
+                   d: int, out_dtype, int8_scores: bool = False):
     """Flash inner loop with the rel-pos bias applied by VPU broadcast adds
     instead of the one-hot expansion matmul.
 
@@ -181,17 +181,38 @@ def _bias_loop_vpu(q, k, v, r, m, *, rh_width: int, kw: int, block_k: int,
     kernels' measured bottleneck: 8.9 -> 7.9 ms on the ViT-B@1024 global
     layer (scripts/microbench_softmax_dtype.py mode e; bf16 VPU tiles —
     mode f — measured slower and stay out). Numerics: identical sums
-    reassociated, max |delta| 6e-5 on unit-scale bf16 inputs."""
+    reassociated, max |delta| 6e-5 on unit-scale bf16 inputs.
+
+    ``int8_scores`` (LA_TPU_INT8_SCORES=1, round-5 experiment): the score
+    dot runs with int8 operands (symmetric per-row/per-key scales,
+    dequantized on the VPU). MEASURED NEGATIVE on v5e at SAM-1024 global
+    shapes: 13.04 vs 12.21 ms (0.94x) — the hoped-for 2x int8 MXU rate
+    does not materialize through this toolchain's Mosaic lowering, while
+    the per-tile int32->f32 dequant multiply adds VPU work the previously
+    hidden exp2 pipeline can no longer absorb (plus per-grid-step k
+    requantization). Output drift rel ~1.6e-2 (score quantization at
+    1/127 per operand). Kept opt-in for future toolchains; default off."""
     bq = q.shape[0]
     rows = block_k // kw
     rh = r[:, :rh_width]
     rww = jnp.concatenate([r[:, rh_width:]] * rows, axis=1) - m
     k_len = k.shape[0]
+    if int8_scores:
+        sq = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0   # (BQ, 1)
+        sk = jnp.max(jnp.abs(k), axis=1, keepdims=True) / 127.0   # (K, 1)
+        q8 = jnp.round(q / jnp.maximum(sq, 1e-30)).astype(jnp.int8)
+        k8 = jnp.round(k / jnp.maximum(sk, 1e-30)).astype(jnp.int8)
     o = jnp.zeros((bq, d + 1), jnp.float32)
     for kb in range(0, k_len, block_k):
-        s = jax.lax.dot_general(
-            q, k[kb:kb + block_k], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if int8_scores:
+            s32 = jax.lax.dot_general(
+                q8, k8[kb:kb + block_k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = s32.astype(jnp.float32) * (sq * sk[kb:kb + block_k].T)
+        else:
+            s = jax.lax.dot_general(
+                q, k[kb:kb + block_k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         r0 = kb // kw
         rh2 = jnp.concatenate(
             [jnp.broadcast_to(rh[:, r0 + i:r0 + i + 1], (bq, kw))
@@ -201,6 +222,15 @@ def _bias_loop_vpu(q, k, v, r, m, *, rh_width: int, kw: int, block_k: int,
             p, v[kb:kb + block_k], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return _finish(o, d, out_dtype)
+
+
+def _int8_scores_enabled() -> bool:
+    """Opt-in int8 score-dot experiment (trace-time read, like the other
+    kernel flags)."""
+    import os
+
+    return os.environ.get("LA_TPU_INT8_SCORES", "").strip().lower() \
+        not in ("", "0", "false", "no", "off")
 
 
 def vpu_bias_ok(kh: int, kw: int, n: int, block_k: int) -> bool:
@@ -603,7 +633,7 @@ def _packed_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
 
 def _relpos_lanes_kernel_vpu(q_ref, k_ref, v_ref, r_ref, o_ref, *,
                              scale: float, rh_width: int, kw: int,
-                             block_k: int):
+                             block_k: int, int8_scores: bool = False):
     """Lane-sliced kernel with the VPU bias loop (see _bias_loop_vpu):
     identical head-pair BlockSpec layout, no one-hot operand."""
     dh = q_ref.shape[-1] // 2
@@ -622,7 +652,8 @@ def _relpos_lanes_kernel_vpu(q_ref, k_ref, v_ref, r_ref, o_ref, *,
         m = _shift_bound(q, k, r, rh_width)
         outs.append(_bias_loop_vpu(q, k, v, r, m, rh_width=rh_width, kw=kw,
                                    block_k=block_k, d=dh,
-                                   out_dtype=o_ref.dtype))
+                                   out_dtype=o_ref.dtype,
+                                   int8_scores=int8_scores))
     o_ref[0] = jnp.concatenate(outs, axis=-1)               # (BQ, 2*dh)
 
 
@@ -715,7 +746,8 @@ def _lanes_fwd_impl(qkv: jax.Array, r: jax.Array, scale: float,
     if vpu_bias_ok(kh, kw, n, block_k):
         return pl.pallas_call(
             functools.partial(_relpos_lanes_kernel_vpu, scale=scale,
-                              rh_width=kh, kw=kw, block_k=block_k),
+                              rh_width=kh, kw=kw, block_k=block_k,
+                              int8_scores=_int8_scores_enabled()),
             out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
             grid=grid,
             in_specs=qkv_specs,

@@ -125,6 +125,36 @@ def test_device_normalize_shipped_extents_used_verbatim():
     assert np.all(out_fb[:, :host_nh, :, :] != 0.0)
 
 
+def test_int8_scores_flag_approximates_default(monkeypatch):
+    """LA_TPU_INT8_SCORES=1 (the measured-negative round-5 experiment,
+    kept opt-in) must stay within the score-quantization error of the
+    default path — interpret mode exercises the int8 dot + dequant on
+    CPU."""
+    from labelanything_tpu.ops import flash_attention as fa
+
+    kh, kw = 32, 32  # rr = 64: lanes_kernel_ok + the vpu-bias path
+    b, heads, dh = 1, 2, 64
+    n, c = kh * kw, 2 * 64
+    rng = np.random.default_rng(13)
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * c)).astype(np.float32))
+    r = jnp.asarray(
+        0.25 * rng.standard_normal((b, n, heads * (kh + kw))).astype(
+            np.float32))
+    old_i = fa._INTERPRET
+    fa._INTERPRET = True
+    try:
+        monkeypatch.setenv("LA_TPU_INT8_SCORES", "0")
+        ref = np.asarray(fa._lanes_fwd_impl(qkv, r, dh ** -0.5, (kh, kw),
+                                            heads))
+        monkeypatch.setenv("LA_TPU_INT8_SCORES", "1")
+        out = np.asarray(fa._lanes_fwd_impl(qkv, r, dh ** -0.5, (kh, kw),
+                                            heads))
+    finally:
+        fa._INTERPRET = old_i
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() <= 0.05 * scale  # 1/127-grained scores
+
+
 def test_uint8_episode_ships_resized_dims(tmp_path):
     """device_normalize episodes carry BatchKeys.RESIZED_DIMS computed by
     the same host function the resize used, and the collate stacks it."""

@@ -130,35 +130,37 @@ class LabelAnythingDataset:
         n_boxes = _round_up(
             max(x[BatchKeys.PROMPT_BBOXES].shape[2] for x in items), bucket)
 
-        def pad_to(x, shape):
-            out = np.zeros(shape, x.dtype)
-            out[tuple(slice(0, s) for s in x.shape)] = x
+        def pad_stack(key, shape):
+            """Write each item's (possibly smaller) array straight into a
+            preallocated (B,)+shape buffer — the old pad_to-then-np.stack
+            made TWO copies (+ an allocation) per item. Buffer assembly is
+            ~33% of the single-worker loader profile (PERF.md round-5
+            breakdown); this trims the prompt-tensor share of it
+            (measured ~67 -> ~70 eps/s on the canonical microbench)."""
+            out = np.zeros((b,) + shape, items[0][key].dtype)
+            for i, x in enumerate(items):
+                v = x[key]
+                out[(i,) + tuple(slice(0, s) for s in v.shape)] = v
             return out
 
         n_imgs = items[0][BatchKeys.PROMPT_MASKS].shape[0]
         msl = items[0][BatchKeys.PROMPT_MASKS].shape[-1]
 
         batch: Dict[str, Any] = {}
-        batch[BatchKeys.PROMPT_MASKS] = np.stack([
-            pad_to(x[BatchKeys.PROMPT_MASKS], (n_imgs, max_classes, msl, msl))
-            for x in items])
-        batch[BatchKeys.FLAG_MASKS] = np.stack([
-            pad_to(x[BatchKeys.FLAG_MASKS], (n_imgs, max_classes)) for x in items])
-        batch[BatchKeys.PROMPT_BBOXES] = np.stack([
-            pad_to(x[BatchKeys.PROMPT_BBOXES], (n_imgs, max_classes, n_boxes, 4))
-            for x in items])
-        batch[BatchKeys.FLAG_BBOXES] = np.stack([
-            pad_to(x[BatchKeys.FLAG_BBOXES], (n_imgs, max_classes, n_boxes))
-            for x in items])
-        batch[BatchKeys.PROMPT_POINTS] = np.stack([
-            pad_to(x[BatchKeys.PROMPT_POINTS], (n_imgs, max_classes, n_points, 2))
-            for x in items])
-        batch[BatchKeys.FLAG_POINTS] = np.stack([
-            pad_to(x[BatchKeys.FLAG_POINTS], (n_imgs, max_classes, n_points))
-            for x in items])
-        batch[BatchKeys.FLAG_EXAMPLES] = np.stack([
-            pad_to(x[BatchKeys.FLAG_EXAMPLES], (n_imgs, max_classes))
-            for x in items])
+        batch[BatchKeys.PROMPT_MASKS] = pad_stack(
+            BatchKeys.PROMPT_MASKS, (n_imgs, max_classes, msl, msl))
+        batch[BatchKeys.FLAG_MASKS] = pad_stack(
+            BatchKeys.FLAG_MASKS, (n_imgs, max_classes))
+        batch[BatchKeys.PROMPT_BBOXES] = pad_stack(
+            BatchKeys.PROMPT_BBOXES, (n_imgs, max_classes, n_boxes, 4))
+        batch[BatchKeys.FLAG_BBOXES] = pad_stack(
+            BatchKeys.FLAG_BBOXES, (n_imgs, max_classes, n_boxes))
+        batch[BatchKeys.PROMPT_POINTS] = pad_stack(
+            BatchKeys.PROMPT_POINTS, (n_imgs, max_classes, n_points, 2))
+        batch[BatchKeys.FLAG_POINTS] = pad_stack(
+            BatchKeys.FLAG_POINTS, (n_imgs, max_classes, n_points))
+        batch[BatchKeys.FLAG_EXAMPLES] = pad_stack(
+            BatchKeys.FLAG_EXAMPLES, (n_imgs, max_classes))
         batch[BatchKeys.DIMS] = np.stack([x[BatchKeys.DIMS] for x in items])
         if BatchKeys.RESIZED_DIMS in items[0]:
             batch[BatchKeys.RESIZED_DIMS] = np.stack(

@@ -129,3 +129,12 @@ void or_reduce(const uint8_t *masks, long n, long hw, uint8_t *out) {
             out[j] |= m[j];
     }
 }
+
+/* Ground-truth label write: out[j] = value wherever mask[j] != 0.
+ * One branch-free pass replaces numpy's `gt[mask == 1] = value`
+ * (bool-temporary alloc + fancy-index scatter) in the per-annotation
+ * GT rasterization loop (data/coco.py compute_ground_truths*). */
+void label_fill(const uint8_t *mask, long hw, int32_t value, int32_t *out) {
+    for (long j = 0; j < hw; j++)
+        out[j] = mask[j] ? value : out[j];
+}

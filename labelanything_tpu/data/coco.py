@@ -26,7 +26,8 @@ from ..typing import AnnFileKeys, BatchKeys, BatchMetadataKeys, IGNORE_INDEX, Pr
 from .examples import build_example_generator
 from .schema import flags_merge
 from .rng import EpisodeRng
-from .transforms import PromptsProcessor, get_preprocess_shape, preprocess_image
+from .transforms import (PromptsProcessor, get_preprocess_shape,
+                         nearest_index_map, preprocess_image)
 
 
 def load_instances(path: str) -> dict:
@@ -260,10 +261,20 @@ class CocoLVISDataset:
             embeddings, gts = zip(*pairs)
             return (stack_embeddings(list(embeddings)), BatchKeys.EMBEDDINGS,
                     None if not self.load_gts else gts)
+        s = self.image_size
+        if self.device_normalize:
+            # uint8 path: resize results write straight into the episode
+            # buffer (no per-image stack copy)
+            buf = np.zeros((len(image_ids), s, s, 3), np.uint8)
+            for j, i in enumerate(image_ids):
+                preprocess_image(self._load_image(self.images[i]), s,
+                                 self.custom_preprocess, normalize=False,
+                                 out=buf[j])
+            return buf, BatchKeys.IMAGES, None
         images = []
         for i in image_ids:
             arr, _ = preprocess_image(self._load_image(self.images[i]),
-                                      self.image_size, self.custom_preprocess,
+                                      s, self.custom_preprocess,
                                       normalize=not self.device_normalize)
             images.append(arr)
         return np.stack(images), BatchKeys.IMAGES, None
@@ -312,7 +323,29 @@ class CocoLVISDataset:
         return int(np.clip(self.rng.poisson(poisson_mean) + 1, 1,
                            self.max_points_per_annotation))
 
-    def _get_prompts(self, image_ids, cat_ids, possible_prompt_types):
+    def _ann_mask(self, ann, h: int, w: int,
+                  memo: Optional[Dict[int, np.ndarray]] = None) -> np.ndarray:
+        """convert_mask with a per-episode memo: the same annotation is
+        rasterized by BOTH the prompt path (_get_prompts, mask/point types)
+        and the GT path (compute_ground_truths), so without the memo most
+        segmentations were decoded twice per episode. The memo dict is
+        created in __getitem__ and threaded through explicitly (NOT stored
+        on self — __getitem__ runs concurrently on loader threads); callers
+        never mutate the returned mask, and a mask is a pure function of
+        the annotation, so sharing is exact."""
+        if memo is None:
+            return self.prompts_processor.convert_mask(
+                ann[AnnFileKeys.SEGMENTATION], h, w)
+        key = ann[AnnFileKeys.ID]
+        m = memo.get(key)
+        if m is None:
+            m = self.prompts_processor.convert_mask(
+                ann[AnnFileKeys.SEGMENTATION], h, w)
+            memo[key] = m
+        return m
+
+    def _get_prompts(self, image_ids, cat_ids, possible_prompt_types,
+                     memo=None):
         """(reference: coco.py:398-474)."""
         if isinstance(possible_prompt_types, PromptType):
             possible_prompt_types = [possible_prompt_types]
@@ -342,11 +375,10 @@ class CocoLVISDataset:
                         bboxes[i][cat_id].append(self.prompts_processor.convert_bbox(
                             ann["bbox"], *img_size, noise=self.add_box_noise))
                     elif ptype == PromptType.MASK:
-                        masks[i][cat_id].append(self.prompts_processor.convert_mask(
-                            ann[AnnFileKeys.SEGMENTATION], *img_size))
+                        masks[i][cat_id].append(
+                            self._ann_mask(ann, *img_size, memo=memo))
                     else:
-                        mask = self.prompts_processor.convert_mask(
-                            ann[AnnFileKeys.SEGMENTATION], *img_size)
+                        mask = self._ann_mask(ann, *img_size, memo=memo)
                         points[i][cat_id].extend(
                             self.prompts_processor.sample_points(
                                 mask, self._sample_num_points(img_id, ann)))
@@ -354,38 +386,84 @@ class CocoLVISDataset:
         for i in range(len(image_ids)):
             for cat_id in cat_ids:
                 bboxes[i][cat_id] = np.asarray(bboxes[i][cat_id], np.float64)
-                masks[i][cat_id] = np.asarray(masks[i][cat_id])
+                # masks stay a LIST of full-res instance masks: stacking
+                # them here copied every mask once, and apply_masks gathers
+                # each instance at msl**2 without ever needing the stack
                 points[i][cat_id] = np.asarray(points[i][cat_id], np.float64)
         return bboxes, masks, points, classes, img_sizes
 
-    def compute_ground_truths(self, image_ids, cat_ids) -> List[np.ndarray]:
+    def compute_ground_truths(self, image_ids, cat_ids,
+                              memo=None) -> List[np.ndarray]:
         """(reference: coco.py:514-543)."""
+        from . import native
+
         gts = []
+        cat_index = {c: i for i, c in enumerate(cat_ids)}
         for image_id in image_ids:
             img_size = (self.images[image_id]["height"],
                         self.images[image_id]["width"])
             gt = np.zeros(img_size, np.int32)
             for ann in self.img_annotations[image_id]:
                 cat = ann[AnnFileKeys.CATEGORY_ID]
-                if cat not in cat_ids:
+                if cat not in cat_index:
                     continue
-                mask = self.prompts_processor.convert_mask(
-                    ann[AnnFileKeys.SEGMENTATION], *img_size)
-                gt[mask == 1] = cat_ids.index(cat)
+                mask = self._ann_mask(ann, *img_size, memo=memo)
+                if not native.label_fill(mask, gt, cat_index[cat]):
+                    gt[mask == 1] = cat_index[cat]
             gts.append(gt)
         return gts
 
-    def gt_to_input_frame(self, gt: np.ndarray) -> np.ndarray:
-        """Nearest-resize GT into the padded input frame, IGNORE_INDEX fill."""
+    def compute_ground_truths_input_frame(self, image_ids, cat_ids,
+                                          memo=None) -> np.ndarray:
+        """compute_ground_truths + gt_to_input_frame fused: per-pixel
+        last-writer-wins assignment commutes with the nearest-resize gather
+        (both are pointwise and the annotation order is identical), so each
+        annotation's label write runs at the (nh, nw) content extent instead
+        of full resolution, and the result lands directly in one
+        (N, S, S) int32 batch buffer. Bit-exact with
+        ``[gt_to_input_frame(g) for g in compute_ground_truths(...)]``
+        (tests/test_data.py::test_gt_input_frame_fused_matches_two_step)."""
+        from . import native
+
         s = self.image_size
+        cat_index = {c: i for i, c in enumerate(cat_ids)}
+        out = np.full((len(image_ids), s, s), IGNORE_INDEX, np.int32)
+        for j, image_id in enumerate(image_ids):
+            h = self.images[image_id]["height"]
+            w = self.images[image_id]["width"]
+            if self.custom_preprocess:
+                nh, nw = get_preprocess_shape(h, w, s)
+            else:
+                nh, nw = s, s
+            gt = np.zeros((h, w), np.int32)
+            for ann in self.img_annotations[image_id]:
+                cat = ann[AnnFileKeys.CATEGORY_ID]
+                if cat not in cat_index:
+                    continue
+                mask = self._ann_mask(ann, h, w, memo=memo)
+                # one native pass per annotation (csrc label_fill); the
+                # numpy fancy-index write is the no-compiler fallback
+                if not native.label_fill(mask, gt, cat_index[cat]):
+                    gt[mask == 1] = cat_index[cat]
+            out[j, :nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
+                                         nearest_index_map(w, nw))]
+        return out
+
+    def gt_to_input_frame(self, gt: np.ndarray) -> np.ndarray:
+        """Nearest-resize GT into the padded input frame, IGNORE_INDEX fill.
+
+        Nearest resize is a per-axis index gather; using PIL's own index
+        maps (nearest_index_map) keeps this bit-exact with the previous
+        mode-"I" PIL round-trip while skipping the int32 image copy."""
+        s = self.image_size
+        h, w = gt.shape
         if self.custom_preprocess:
-            nh, nw = get_preprocess_shape(gt.shape[0], gt.shape[1], s)
+            nh, nw = get_preprocess_shape(h, w, s)
         else:
             nh, nw = s, s
-        img = Image.fromarray(gt.astype(np.int32), mode="I")
-        img = img.resize((nw, nh), Image.NEAREST)
         out = np.full((s, s), IGNORE_INDEX, np.int32)
-        out[:nh, :nw] = np.asarray(img, np.int32)
+        out[:nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
+                                  nearest_index_map(w, nw))]
         return out
 
     def __getitem__(self, idx_metadata) -> dict:
@@ -419,8 +497,9 @@ class CocoLVISDataset:
         cat_ids.insert(0, -1)  # background
 
         images, image_key, precomputed_gts = self._get_images_or_embeddings(image_ids)
+        mask_memo: Dict[int, np.ndarray] = {}
         bboxes, masks, points, classes, img_sizes = self._get_prompts(
-            image_ids, cat_ids, possible_prompt_types)
+            image_ids, cat_ids, possible_prompt_types, memo=mask_memo)
 
         pad_n = batch_metadata.get("pad_annotations_to")
         bboxes, flag_bboxes = annotations_to_tensor(
@@ -439,9 +518,11 @@ class CocoLVISDataset:
                         continue
                     out[np.asarray(g) == cat_id] = i
                 gts.append(out)
+            ground_truths = np.stack(
+                [self.gt_to_input_frame(g) for g in gts])
         else:
-            gts = self.compute_ground_truths(image_ids, cat_ids)
-        ground_truths = np.stack([self.gt_to_input_frame(g) for g in gts])
+            ground_truths = self.compute_ground_truths_input_frame(
+                image_ids, cat_ids, memo=mask_memo)
 
         flag_examples = flags_merge(flag_masks, flag_points, flag_bboxes)
         dims = np.asarray(img_sizes, np.int32)

@@ -46,6 +46,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.or_reduce.restype = None
     lib.or_reduce.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
                               ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)]
+    lib.label_fill.restype = None
+    lib.label_fill.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                               ctypes.c_int32,
+                               ctypes.POINTER(ctypes.c_int32)]
     return lib
 
 
@@ -67,6 +71,22 @@ def rle_decode(counts: str, h: int, w: int) -> Optional[np.ndarray]:
         raw, len(raw), h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None
+
+
+def label_fill(mask: np.ndarray, out: np.ndarray, value: int) -> bool:
+    """out[mask != 0] = value in one native pass; both arrays must be
+    C-contiguous with matching shapes ((H, W) uint8 mask, int32 out).
+    Returns False when the native lib is unavailable (caller falls back
+    to the numpy fancy-index write)."""
+    lib = get_lib()
+    if (lib is None or not mask.flags.c_contiguous
+            or not out.flags.c_contiguous or mask.dtype != np.uint8
+            or out.dtype != np.int32):
+        return False
+    lib.label_fill(mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   mask.size, value,
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return True
 
 
 def or_reduce(masks: Sequence[np.ndarray]) -> Optional[np.ndarray]:

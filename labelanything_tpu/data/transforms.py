@@ -26,6 +26,27 @@ def get_preprocess_shape(oldh: int, oldw: int, long_side_length: int) -> Tuple[i
     return int(oldh * scale + 0.5), int(oldw * scale + 0.5)
 
 
+_NEAREST_MAP_CACHE: dict = {}
+
+
+def nearest_index_map(n_src: int, n_dst: int) -> np.ndarray:
+    """The source index PIL's NEAREST resize samples for each destination
+    position along one axis, obtained by resizing an index ramp through PIL
+    itself — bit-exact with ``Image.resize(..., Image.NEAREST)`` by
+    construction (nearest is separable, verified in
+    tests/test_data.py::test_nearest_gather_matches_pil). Cached per
+    (n_src, n_dst); lets the mask/GT hot loop replace PIL round-trips with
+    one NumPy gather."""
+    key = (n_src, n_dst)
+    m = _NEAREST_MAP_CACHE.get(key)
+    if m is None:
+        ramp = np.arange(n_src, dtype=np.int32)[None, :]
+        img = Image.fromarray(ramp, mode="I").resize((n_dst, 1), Image.NEAREST)
+        m = np.asarray(img, np.int64)[0]
+        _NEAREST_MAP_CACHE[key] = m
+    return m
+
+
 class CustomResize:
     """Long-side resize preserving aspect ratio (reference: transforms.py:14-24)."""
 
@@ -35,6 +56,11 @@ class CustomResize:
     def __call__(self, image: Image.Image) -> Image.Image:
         w, h = image.size
         nh, nw = get_preprocess_shape(h, w, self.long_side_length)
+        if (nw, nh) == (w, h):
+            # identity resize: PIL's bilinear at scale 1 is a single-tap
+            # filter with weight 1.0, i.e. bit-lossless — skip the resample
+            # (images whose long side already equals the target hit this)
+            return image
         return image.resize((nw, nh), Image.BILINEAR)
 
 
@@ -63,7 +89,9 @@ class CustomNormalize:
 
 def preprocess_image(image: Image.Image, long_side_length: int,
                      custom: bool = True,
-                     normalize: bool = True) -> Tuple[np.ndarray, Tuple[int, int]]:
+                     normalize: bool = True,
+                     out: Optional[np.ndarray] = None,
+                     ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Full pipeline: long-side resize -> normalize -> pad. Returns the
     padded (S, S, 3) array and the original (H, W).
 
@@ -71,7 +99,11 @@ def preprocess_image(image: Image.Image, long_side_length: int,
     only, returning (S, S, 3) uint8 — 4x fewer host->device bytes and no
     fp32 passes on the loader workers; the model then normalizes on device
     (ops/image_norm.py), bit-matching CustomNormalize incl. the zero pad in
-    the normalized frame (reference: data/transforms.py:27-46)."""
+    the normalized frame (reference: data/transforms.py:27-46).
+
+    ``out`` (uint8 path only): a zeroed (S, S, 3) uint8 view to write into
+    — lets the episode assembler fill a preallocated (N, S, S, 3) batch
+    buffer directly instead of stacking per-image copies."""
     w, h = image.size
     if image.mode != "RGB":
         image = image.convert("RGB")
@@ -82,7 +114,8 @@ def preprocess_image(image: Image.Image, long_side_length: int,
     if not normalize:
         arr = np.asarray(image, np.uint8)
         s = long_side_length
-        out = np.zeros((s, s, 3), np.uint8)
+        if out is None:
+            out = np.zeros((s, s, 3), np.uint8)
         out[:arr.shape[0], :arr.shape[1]] = arr
         return out, (h, w)
     return CustomNormalize(long_side_length)(image), (h, w)
@@ -160,7 +193,49 @@ class PromptsProcessor:
     def apply_masks(self, masks: List[np.ndarray]) -> np.ndarray:
         """OR-reduce instance masks, resize (nearest) into the padded input
         frame, then downsample to masks_side_length
-        (reference: transforms.py:203-224)."""
+        (reference: transforms.py:203-224).
+
+        The two nearest resizes + the long_side**2 intermediate pad are
+        composed into ONE msl**2 NumPy gather: nearest resize is a pure
+        per-axis index gather, so resize(pad(resize(m))) == m[rows][:, cols]
+        with the index maps composed through PIL's own mapping
+        (nearest_index_map) and pad positions masked to 0. Bit-exact with
+        the old PIL chain (tests/test_data.py::test_apply_masks_gather
+        _matches_pil); removed two full-frame allocations + three PIL
+        round-trips per (image, class) from the episode hot loop."""
+        msl = self.masks_side_length
+        if len(masks) == 0:
+            return np.zeros((msl, msl), np.uint8)
+        first = np.asarray(masks[0])
+        h, w = first.shape
+        s = self.long_side_length
+        if self.custom_preprocess:
+            nh, nw = get_preprocess_shape(h, w, s)
+            r2 = nearest_index_map(s, msl)
+            c2 = r2  # the padded frame is square
+            valid = (r2 < nh)[:, None] & (c2 < nw)[None, :]
+            rows = nearest_index_map(h, nh)[np.minimum(r2, nh - 1)]
+            cols = nearest_index_map(w, nw)[np.minimum(c2, nw - 1)]
+        else:
+            # the PIL chain resizes full-res -> msl directly in this mode
+            valid = None
+            rows = nearest_index_map(h, msl)
+            cols = nearest_index_map(w, msl)
+        # gather each instance at msl**2 BEFORE the OR (pointwise OR
+        # commutes with the gather): the OR never touches full resolution,
+        # so the (n, H, W) logical_or.reduce stack disappears too
+        ix = np.ix_(rows, cols)
+        acc = first[ix] != 0
+        for m in masks[1:]:
+            acc |= np.asarray(m)[ix] != 0
+        out = acc.astype(np.uint8)
+        if valid is not None:
+            out[~valid] = 0
+        return out
+
+    def apply_masks_pil(self, masks: List[np.ndarray]) -> np.ndarray:
+        """The original PIL chain — kept as the behavioural contract the
+        gather fast path is parity-tested against."""
         msl = self.masks_side_length
         if len(masks) == 0:
             return np.zeros((msl, msl), np.uint8)

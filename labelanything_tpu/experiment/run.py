@@ -893,10 +893,25 @@ class Run:
         support = drop_absent_modalities(dataset.extract_prompts())
         support_dev = {k: jnp.asarray(v) for k, v in support.items()}
         if self.state is None:
-            # initialize parameters from the support batch shapes
+            # initialize parameters from the support batch shapes. The full
+            # forward's contract is images N = examples M + 1 (index 0 is
+            # the query, lam.py prepare_query_example_embeddings); the
+            # support dict has N == M, so prepend a dummy query image to
+            # make the init trace structurally valid (the dense-path
+            # broadcast used to hide this; the factored mask fast path
+            # reshapes exactly and would reject it).
             fake_gt = jnp.full((1,) + (self.image_size, self.image_size),
                                IGNORE_INDEX, jnp.int32)
-            self._lazy_init(support_dev, fake_gt)
+            init_dev = dict(support_dev)
+            ik = (BatchKeys.EMBEDDINGS if BatchKeys.EMBEDDINGS in init_dev
+                  else BatchKeys.IMAGES)
+            v = init_dev[ik]
+            if isinstance(v, dict):
+                init_dev[ik] = {k: jnp.concatenate([s[:, :1], s], axis=1)
+                                for k, s in v.items()}
+            else:
+                init_dev[ik] = jnp.concatenate([v[:, :1], v], axis=1)
+            self._lazy_init(init_dev, fake_gt)
 
         gen = jax.jit(lambda p, b: self.model.apply(
             p, b, method="generate_class_embeddings"))

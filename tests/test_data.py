@@ -252,3 +252,89 @@ def test_native_rle_matches_numpy_codec():
         fast = native.rle_decode(obj["counts"], h, w)
         assert fast is not None
         np.testing.assert_array_equal(fast, mask)
+
+
+def test_nearest_gather_matches_pil():
+    """nearest_index_map must reproduce PIL NEAREST exactly (the maps are
+    obtained from PIL itself; this checks the separability assumption the
+    gather fast paths rely on) across up/down/identity resizes."""
+    from labelanything_tpu.data.transforms import nearest_index_map
+
+    rng = np.random.default_rng(3)
+    for (h, w), (nh, nw) in [((37, 61), (256, 256)), ((480, 640), (256, 256)),
+                             ((480, 640), (360, 480)), ((11, 7), (11, 7)),
+                             ((300, 200), (1024, 683))]:
+        arr = rng.integers(0, 255, (h, w), np.int32)
+        ref = np.asarray(Image.fromarray(arr, mode="I").resize(
+            (nw, nh), Image.NEAREST), np.int32)
+        got = arr[np.ix_(nearest_index_map(h, nh), nearest_index_map(w, nw))]
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_apply_masks_gather_matches_pil():
+    """The composed-gather apply_masks must be bit-exact with the original
+    PIL chain (apply_masks_pil) for both preprocess modes, including sizes
+    where the resized extent does not tile the padded frame evenly."""
+    rng = np.random.default_rng(4)
+    for custom in (True, False):
+        pp = PromptsProcessor(long_side_length=480, masks_side_length=256,
+                              custom_preprocess=custom)
+        for h, w in [(321, 481), (480, 640), (59, 207), (640, 480), (480, 480)]:
+            masks = [(rng.random((h, w)) < 0.4).astype(np.uint8)
+                     for _ in range(3)]
+            np.testing.assert_array_equal(
+                pp.apply_masks(list(masks)), pp.apply_masks_pil(list(masks)))
+        np.testing.assert_array_equal(
+            pp.apply_masks([]), np.zeros((256, 256), np.uint8))
+
+
+def test_gt_to_input_frame_matches_pil(coco_dir):
+    """gt_to_input_frame's gather must match the previous PIL mode-'I'
+    nearest round-trip bit-for-bit."""
+    ds = CocoLVISDataset(instances_path=str(coco_dir / "instances.json"),
+                         img_dir=str(coco_dir / "images"), image_size=480,
+                         seed=0)
+    rng = np.random.default_rng(5)
+    for h, w in [(321, 481), (480, 640), (59, 207)]:
+        gt = rng.integers(0, 7, (h, w), np.int32)
+        nh, nw = get_preprocess_shape(h, w, 480)
+        img = Image.fromarray(gt.astype(np.int32), mode="I").resize(
+            (nw, nh), Image.NEAREST)
+        ref = np.full((480, 480), IGNORE_INDEX, np.int32)
+        ref[:nh, :nw] = np.asarray(img, np.int32)
+        np.testing.assert_array_equal(ds.gt_to_input_frame(gt), ref)
+
+
+def test_gt_input_frame_fused_matches_two_step(coco_dir):
+    """compute_ground_truths_input_frame must equal gt_to_input_frame over
+    compute_ground_truths bit-for-bit (assignment commutes with the
+    nearest gather)."""
+    ds = CocoLVISDataset(instances_path=str(coco_dir / "instances.json"),
+                         img_dir=str(coco_dir / "images"), image_size=480,
+                         seed=0)
+    image_ids = ds.image_ids[:3]
+    cat_ids = sorted(ds.categories.keys())
+    cat_ids.insert(0, -1)
+    two_step = [ds.gt_to_input_frame(g)
+                for g in ds.compute_ground_truths(image_ids, cat_ids)]
+    fused = ds.compute_ground_truths_input_frame(image_ids, cat_ids)
+    for a, b in zip(fused, two_step):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_label_fill_matches_numpy():
+    """csrc label_fill must equal the numpy fancy-index write."""
+    from labelanything_tpu.data import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable (no C compiler)")
+    rng = np.random.default_rng(6)
+    for h, w in [(37, 61), (480, 640)]:
+        mask = (rng.random((h, w)) < 0.3).astype(np.uint8)
+        a = rng.integers(-5, 5, (h, w)).astype(np.int32)
+        b = a.copy()
+        assert native.label_fill(mask, a, 7)
+        b[mask == 1] = 7
+        np.testing.assert_array_equal(a, b)
+    # contract: refuses non-contiguous / wrong dtypes
+    assert not native.label_fill(mask[:, ::2], a[:, : w // 2 + w % 2], 1)

@@ -27,6 +27,7 @@ from .examples import build_example_generator
 from .schema import flags_merge
 from .rng import EpisodeRng
 from .transforms import (PromptsProcessor, get_preprocess_shape,
+                         gt_to_input_frame as gt_to_input_frame_np,
                          nearest_index_map, preprocess_image)
 
 
@@ -415,12 +416,12 @@ class CocoLVISDataset:
 
     def compute_ground_truths_input_frame(self, image_ids, cat_ids,
                                           memo=None) -> np.ndarray:
-        """compute_ground_truths + gt_to_input_frame fused: per-pixel
-        last-writer-wins assignment commutes with the nearest-resize gather
-        (both are pointwise and the annotation order is identical), so each
-        annotation's label write runs at the (nh, nw) content extent instead
-        of full resolution, and the result lands directly in one
-        (N, S, S) int32 batch buffer. Bit-exact with
+        """compute_ground_truths + gt_to_input_frame fused: each image's GT
+        is rasterized once at full resolution (native label_fill per
+        annotation, branch-free C pass instead of numpy's bool-temporary +
+        fancy-index scatter), then nearest-gathered into the input frame in
+        ONE pass per image, landing directly in one (N, S, S) int32 batch
+        buffer (no per-image np.full + np.stack). Bit-exact with
         ``[gt_to_input_frame(g) for g in compute_ground_truths(...)]``
         (tests/test_data.py::test_gt_input_frame_fused_matches_two_step)."""
         from . import native
@@ -450,21 +451,10 @@ class CocoLVISDataset:
         return out
 
     def gt_to_input_frame(self, gt: np.ndarray) -> np.ndarray:
-        """Nearest-resize GT into the padded input frame, IGNORE_INDEX fill.
-
-        Nearest resize is a per-axis index gather; using PIL's own index
-        maps (nearest_index_map) keeps this bit-exact with the previous
-        mode-"I" PIL round-trip while skipping the int32 image copy."""
-        s = self.image_size
-        h, w = gt.shape
-        if self.custom_preprocess:
-            nh, nw = get_preprocess_shape(h, w, s)
-        else:
-            nh, nw = s, s
-        out = np.full((s, s), IGNORE_INDEX, np.int32)
-        out[:nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
-                                  nearest_index_map(w, nw))]
-        return out
+        """Nearest-resize GT into the padded input frame, IGNORE_INDEX fill
+        (the shared gather transform, transforms.gt_to_input_frame)."""
+        return gt_to_input_frame_np(gt, self.image_size,
+                                    self.custom_preprocess)
 
     def __getitem__(self, idx_metadata) -> dict:
         """(reference: coco.py:546-644). Returns the episode dict with the

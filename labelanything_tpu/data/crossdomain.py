@@ -54,18 +54,9 @@ class MaskFolderTestDataset(LabelAnythingTestDataset):
         return len(self.query_files())
 
     def gt_to_input_frame(self, gt: np.ndarray) -> np.ndarray:
-        from ..typing import IGNORE_INDEX
+        from .transforms import gt_to_input_frame
 
-        s = self.image_size
-        if self.custom_preprocess:
-            nh, nw = get_preprocess_shape(gt.shape[0], gt.shape[1], s)
-        else:
-            nh, nw = s, s
-        img = Image.fromarray(gt.astype(np.int32), mode="I")
-        img = img.resize((nw, nh), Image.NEAREST)
-        out = np.full((s, s), IGNORE_INDEX, np.int32)
-        out[:nh, :nw] = np.asarray(img, np.int32)
-        return out
+        return gt_to_input_frame(gt, self.image_size, self.custom_preprocess)
 
     def __getitem__(self, idx):
         fname = self.query_files()[idx]

@@ -79,7 +79,8 @@ def label_fill(mask: np.ndarray, out: np.ndarray, value: int) -> bool:
     Returns False when the native lib is unavailable (caller falls back
     to the numpy fancy-index write)."""
     lib = get_lib()
-    if (lib is None or not mask.flags.c_contiguous
+    if (lib is None or mask.shape != out.shape
+            or not mask.flags.c_contiguous
             or not out.flags.c_contiguous or mask.dtype != np.uint8
             or out.dtype != np.int32):
         return False

@@ -210,16 +210,9 @@ class PascalDataset:
         return gts
 
     def gt_to_input_frame(self, gt: np.ndarray) -> np.ndarray:
-        s = self.image_size
-        if self.custom_preprocess:
-            nh, nw = get_preprocess_shape(gt.shape[0], gt.shape[1], s)
-        else:
-            nh, nw = s, s
-        img = Image.fromarray(gt.astype(np.int32), mode="I").resize(
-            (nw, nh), Image.NEAREST)
-        out = np.full((s, s), IGNORE_INDEX, np.int32)
-        out[:nh, :nw] = np.asarray(img, np.int32)
-        return out
+        from .transforms import gt_to_input_frame
+
+        return gt_to_input_frame(gt, self.image_size, self.custom_preprocess)
 
     def _extract_examples(self, image_name, num_examples, num_classes):
         img_cats = sorted(self.img2cat[image_name])

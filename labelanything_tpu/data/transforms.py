@@ -26,6 +26,23 @@ def get_preprocess_shape(oldh: int, oldw: int, long_side_length: int) -> Tuple[i
     return int(oldh * scale + 0.5), int(oldw * scale + 0.5)
 
 
+def gt_to_input_frame(gt: np.ndarray, long_side: int,
+                      custom: bool = True) -> np.ndarray:
+    """Nearest-resize an int GT map into the padded input frame with
+    IGNORE_INDEX fill — one NumPy gather using PIL's own index maps
+    (bit-exact with the mode-"I" PIL round-trip it replaces). Shared by the
+    COCO, Pascal and cross-domain datasets."""
+    from ..typing import IGNORE_INDEX
+
+    h, w = gt.shape
+    s = long_side
+    nh, nw = get_preprocess_shape(h, w, s) if custom else (s, s)
+    out = np.full((s, s), IGNORE_INDEX, np.int32)
+    out[:nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
+                              nearest_index_map(w, nw))]
+    return out
+
+
 _NEAREST_MAP_CACHE: dict = {}
 
 

@@ -905,12 +905,15 @@ class Run:
             init_dev = dict(support_dev)
             ik = (BatchKeys.EMBEDDINGS if BatchKeys.EMBEDDINGS in init_dev
                   else BatchKeys.IMAGES)
-            v = init_dev[ik]
-            if isinstance(v, dict):
-                init_dev[ik] = {k: jnp.concatenate([s[:, :1], s], axis=1)
-                                for k, s in v.items()}
-            else:
-                init_dev[ik] = jnp.concatenate([v[:, :1], v], axis=1)
+            # every per-image-axis leaf must grow the dummy query slot
+            # together (the uint8 path masks IMAGES with DIMS/RESIZED_DIMS
+            # per image — a mismatched N would crash or mis-broadcast)
+            for key in (ik, BatchKeys.DIMS, BatchKeys.RESIZED_DIMS):
+                if key not in init_dev:
+                    continue
+                init_dev[key] = jax.tree.map(
+                    lambda s: jnp.concatenate([s[:, :1], s], axis=1),
+                    init_dev[key])
             self._lazy_init(init_dev, fake_gt)
 
         gen = jax.jit(lambda p, b: self.model.apply(

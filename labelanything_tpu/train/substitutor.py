@@ -37,6 +37,10 @@ _KEYS_TO_EXCHANGE = (
     BatchKeys.FLAG_POINTS,
     BatchKeys.FLAG_EXAMPLES,
     BatchKeys.DIMS,
+    # uint8 ingest ships the per-image post-resize extent; it must rotate
+    # with IMAGES/DIMS or device normalization masks image i with image
+    # perm(i)'s extent after the first substitution pass
+    BatchKeys.RESIZED_DIMS,
     BatchKeys.IMAGES,
     BatchKeys.EMBEDDINGS,
     BatchKeys.GROUND_TRUTHS,

@@ -121,23 +121,26 @@ def cmd_coco_json(args) -> int:
             m = m[..., 0]
         m = (m > 127).astype(np.uint8)
         ys, xs = np.nonzero(m)
-        if ys.size:
-            bbox = [int(xs.min()), int(ys.min()),
-                    int(xs.max() - xs.min()), int(ys.max() - ys.min())]
-            cat = 1
-        else:
-            # the reference emits a category-0 dummy annotation for empty
-            # masks (medicine.py:95-99); the episodic engine ignores
-            # category 0 (background), so these rows are inert either way
-            bbox = [0, 0, 0, 0]
-            cat = 0
+        if not ys.size:
+            # NO annotation for tumor-free slices. (The reference emits a
+            # category-0 dummy row here, medicine.py:95-99, but this
+            # framework's episodic engine has no category-0 special-casing
+            # — background is the implicit -1 column — so a cat-0 row
+            # would become a samplable all-empty foreground "way" and
+            # num_classes would count it. Images without annotations are
+            # simply never episode queries, which is the correct episodic
+            # semantics for empty slices; the cross-domain TEST protocol
+            # reads the raw folder and still sees them.)
+            continue
+        bbox = [int(xs.min()), int(ys.min()),
+                int(xs.max() - xs.min()), int(ys.max() - ys.min())]
         enc = rle_codec.encode(np.asfortranarray(m))
         enc = {"size": enc["size"],
                "counts": enc["counts"].decode("ascii")
                if isinstance(enc["counts"], bytes) else enc["counts"]}
         annotations.append({
             "segmentation": enc, "area": int(m.sum()), "image_id": idx,
-            "bbox": bbox, "category_id": cat, "id": idx, "iscrowd": 0,
+            "bbox": bbox, "category_id": 1, "id": idx, "iscrowd": 0,
         })
     doc = {
         "info": {
@@ -147,8 +150,7 @@ def cmd_coco_json(args) -> int:
         },
         "images": images,
         "annotations": annotations,
-        "categories": [{"id": 0, "name": "background"},
-                       {"id": 1, "name": "tumor"}],
+        "categories": [{"id": 1, "name": "tumor"}],
     }
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

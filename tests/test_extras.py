@@ -214,10 +214,20 @@ def test_brain_mri_bootstrap_roundtrip(tmp_path):
          str(tmp_path / "train"),
          "--out", str(tmp_path / "train" / "instances.json")], check=True)
 
+    # tumor-free slices must produce NO annotation (a cat-0 dummy row would
+    # become a samplable all-empty foreground way in this engine — the
+    # background column is the implicit -1, not a category)
+    doc = json.loads((tmp_path / "train" / "instances.json").read_text())
+    assert all(a["category_id"] == 1 for a in doc["annotations"])
+    assert [c["id"] for c in doc["categories"]] == [1]
+    annotated = {a["image_id"] for a in doc["annotations"]}
+    assert len(annotated) < len(doc["images"])  # empty slices exist
+
     ds = CocoLVISDataset(
         instances_path=str(tmp_path / "train" / "instances.json"),
         img_dir=str(tmp_path / "train"), image_size=64, n_shots=1,
         do_subsample=False, add_box_noise=False, load_gts=False, seed=0)
+    assert set(ds.cat2img) == {1}  # no background pseudo-class
     item = ds[(0, {BatchMetadataKeys.PROMPT_TYPES: ["mask"],
                    BatchMetadataKeys.NUM_EXAMPLES: 1})]
     assert item[BatchKeys.IMAGES].shape == (2, 64, 64, 3)

@@ -505,3 +505,27 @@ def test_training_fits_learnable_synthetic_task(dtype):
     # fixed-step assertion flakes across toolchains while the reached
     # minimum proves learnability just as strictly
     assert min(losses) < 0.35 * losses[0], (losses[0], min(losses))
+
+
+def test_permutation_rotates_resized_dims_with_images():
+    """RESIZED_DIMS must rotate together with IMAGES/DIMS in substitution
+    passes — the uint8 ingest path masks each image with ITS OWN post-resize
+    extent on device; a stale extent would zero valid rows / normalize pad
+    (code-review r5 finding)."""
+    from labelanything_tpu.train.substitutor import (apply_permutation,
+                                                     rotation_permutation)
+
+    b, n = 2, 3
+    batch = {
+        BatchKeys.IMAGES: jnp.arange(b * n, dtype=jnp.uint8).reshape(
+            b, n, 1, 1, 1) * jnp.ones((b, n, 4, 4, 3), jnp.uint8),
+        BatchKeys.DIMS: jnp.arange(b * n * 2, dtype=jnp.int32).reshape(b, n, 2),
+        BatchKeys.RESIZED_DIMS: 100 + jnp.arange(
+            b * n * 2, dtype=jnp.int32).reshape(b, n, 2),
+    }
+    perm = rotation_permutation(1, n)
+    out = apply_permutation(batch, perm)
+    idx = np.asarray(perm)
+    for key in (BatchKeys.IMAGES, BatchKeys.DIMS, BatchKeys.RESIZED_DIMS):
+        np.testing.assert_array_equal(
+            np.asarray(out[key]), np.asarray(batch[key])[:, idx])

@@ -446,8 +446,13 @@ class CocoLVISDataset:
                 # numpy fancy-index write is the no-compiler fallback
                 if not native.label_fill(mask, gt, cat_index[cat]):
                     gt[mask == 1] = cat_index[cat]
-            out[j, :nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
-                                         nearest_index_map(w, nw))]
+            if (nh, nw) == (h, w):
+                # identity resize (long side already == frame): the gather
+                # maps are arange, so skip the fancy-index pass
+                out[j, :nh, :nw] = gt
+            else:
+                out[j, :nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
+                                             nearest_index_map(w, nw))]
         return out
 
     def gt_to_input_frame(self, gt: np.ndarray) -> np.ndarray:

@@ -38,8 +38,11 @@ def gt_to_input_frame(gt: np.ndarray, long_side: int,
     s = long_side
     nh, nw = get_preprocess_shape(h, w, s) if custom else (s, s)
     out = np.full((s, s), IGNORE_INDEX, np.int32)
-    out[:nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
-                              nearest_index_map(w, nw))]
+    if (nh, nw) == (h, w):  # identity resize: the maps are arange
+        out[:nh, :nw] = gt
+    else:
+        out[:nh, :nw] = gt[np.ix_(nearest_index_map(h, nh),
+                                  nearest_index_map(w, nw))]
     return out
 
 
